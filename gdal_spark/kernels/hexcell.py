@@ -116,6 +116,32 @@ def parent(cell, parent_res: int):
     return pack(np.full(pq.shape, parent_res, dtype=np.int64), pq, pr)
 
 
+# Per-res hex sizes precomputed once so the SQL expression layer
+# (functions/cells_sql.py) can embed the IDENTICAL double as a literal —
+# numpy pow and JVM pow may differ in the last ulp otherwise.
+SIZES = tuple(float(S0 / SQRT7**r) for r in range(MAX_RES + 1))
+
+
+def cover_bbox(minx: float, miny: float, maxx: float, maxy: float, res: int) -> np.ndarray:
+    """Cell ids whose hexes can intersect the bbox (superset cover).
+
+    Every point's cell center lies within the hex circumradius s of the
+    point, so enumerating all centers inside the bbox expanded by s yields a
+    guaranteed superset — the exact ray-cast refine discards false positives
+    (two-phase filter, ogrlayer.cpp:2253-2325).
+    """
+    s = SIZES[res]
+    r_lo = int(np.floor((miny - s) / (1.5 * s)))
+    r_hi = int(np.ceil((maxy + s) / (1.5 * s)))
+    cells = []
+    for r in range(r_lo, r_hi + 1):
+        q_lo = int(np.floor((minx - s) / (SQRT3 * s) - r / 2.0)) - 1
+        q_hi = int(np.ceil((maxx + s) / (SQRT3 * s) - r / 2.0)) + 1
+        qs = np.arange(q_lo, q_hi + 1, dtype=np.int64)
+        cells.append(pack(np.full(qs.shape, res, dtype=np.int64), qs, np.full(qs.shape, r, dtype=np.int64)))
+    return np.concatenate(cells) if cells else np.empty(0, dtype=np.int64)
+
+
 _RING_DIRS = np.array([(1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)], dtype=np.int64)
 
 

@@ -1,0 +1,169 @@
+"""Point-in-polygon spatial join: the engine's flagship operator.
+
+Re-expresses the reference's two-phase spatial filter + nested-loop layer
+algebra (SURVEY.md §2.2/§2.3) as a Spark join:
+
+  reference: for each feature, SetSpatialFilterRect(envelope) on the other
+  layer, then exact prepared-geometry Intersects
+  (/root/reference/ogr/ogrlayer.cpp:2253-2325 FilterGeometry two-phase;
+  :3345+ Intersection nested loop)
+
+  engine, broadcast strategy (zones small — the common case):
+  pages ⋈ broadcast(zone envelopes) on bbox range predicate (Catalyst
+  BroadcastNestedLoopJoin over tiny dim; phase 1) → vectorized ray-cast
+  refine over WKB (pandas_udf, phase 2; exact reference crossing rule).
+
+  engine, cell-bucketed strategy (zones large — the 100 TB path):
+  zones explode to covering hex cells (kernels/hexcell.cover_bbox superset)
+  → shuffle-free page cell assignment (JVM column math) → equi-JOIN on cell
+  (hash join, AQE skew-split) with optional explicit salting of hot cells →
+  same exact refine. Each page has exactly one res-R cell and each zone
+  covers a cell at most once, so no post-join dedup is needed.
+
+Both strategies return identical rows (tested); output = pages columns +
+zone columns for every containment pair (inner-join semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from ..functions.cells_sql import hex_cell
+from ..kernels import hexcell as HX
+from ..kernels import pip as PIP
+from ..kernels import wkb as W
+
+
+@F.pandas_udf(BooleanType())
+def _raycast_contains(lat: pd.Series, lon: pd.Series, geom: pd.Series) -> pd.Series:
+    """Vectorized exact refine: groups the Arrow batch by distinct geometry
+    and runs the numpy ray-cast kernel once per geometry (zones are few and
+    repeated after the join, so each batch has O(#zones) distinct buffers)."""
+    out = np.zeros(len(lat), dtype=bool)
+    la = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+    lo = lon.to_numpy(dtype=np.float64, na_value=np.nan)
+    # group row indices by geometry buffer
+    codes, uniques = pd.factorize(geom)
+    for gi, buf in enumerate(uniques):
+        m = codes == gi
+        if buf is None or not m.any():
+            continue
+        out[m] = PIP.points_in_wkb(lo[m], la[m], bytes(buf), test_envelope=True)
+    return pd.Series(out)
+
+
+def _zone_envelopes(zones: DataFrame) -> DataFrame:
+    """Attach envelope columns (minx..maxy) to zones — computed once on the
+    (small) zones side; equivalent of OGRGeometry::getEnvelope."""
+    rows = zones.select("zone_id", "geometry").collect()
+    env = [
+        (r["zone_id"],) + W.envelope(bytes(r["geometry"]))
+        for r in rows
+    ]
+    spark = zones.sparkSession
+    edf = spark.createDataFrame(
+        env, "zone_id long, minx double, miny double, maxx double, maxy double"
+    )
+    return zones.join(F.broadcast(edf), "zone_id")
+
+
+def pip_join_broadcast(
+    pages: DataFrame,
+    zones: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Broadcast strategy: bbox theta-join (phase 1) + exact refine (phase 2)."""
+    z = _zone_envelopes(zones)
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    cond = (
+        lat.isNotNull()
+        & (lon >= F.col("minx"))
+        & (lon <= F.col("maxx"))
+        & (lat >= F.col("miny"))
+        & (lat <= F.col("maxy"))
+    )
+    joined = pages.join(F.broadcast(z), cond, "inner")
+    refined = joined.filter(_raycast_contains(lat, lon, F.col("geometry")))
+    return refined.drop("minx", "miny", "maxx", "maxy")
+
+
+def zone_cells(zones: DataFrame, res: int) -> DataFrame:
+    """Explode zones to their covering hex cells at `res` (superset cover).
+
+    Runs on the zones side only — cost O(#zones * cells/zone); pages never
+    explode. Uses applyInPandas-free driver-light path: a pandas UDF over
+    grouped map is unnecessary since covering math is per-row; we use
+    mapInPandas to stay distributed for large zone tables.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    from ..kernels.mercator import clip_lat, latlon_to_meters
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _cover(geom: pd.Series) -> pd.Series:
+        out = []
+        for buf in geom:
+            if buf is None:
+                out.append([])
+                continue
+            minx, miny, maxx, maxy = W.envelope(bytes(buf))
+            mx, my = latlon_to_meters(
+                clip_lat(np.array([miny, maxy])), np.array([minx, maxx])
+            )
+            cells = HX.cover_bbox(float(mx[0]), float(my[0]), float(mx[1]), float(my[1]), res)
+            out.append(cells.tolist())
+        return pd.Series(out)
+
+    return zones.withColumn("cell", F.explode(_cover(F.col("geometry"))))
+
+
+def pip_join_bucketed(
+    pages: DataFrame,
+    zones: DataFrame,
+    res: int = 7,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    salt: int = 0,
+) -> DataFrame:
+    """Cell-bucketed equi-join strategy (scale path).
+
+    salt > 0 additionally splits each cell's page population into `salt`
+    sub-keys and replicates zone cells ×salt — explicit hot-cell skew
+    handling per the north rule (on top of AQE skew-join splitting).
+    """
+    zc = zone_cells(zones, res)
+    p = pages.filter(F.col(lat_col).isNotNull()).withColumn(
+        "cell", hex_cell(F.col(lat_col), F.col(lon_col), res)
+    )
+    if salt > 0:
+        p = p.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(salt)))
+        zc = zc.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+        keys = ["cell", "_salt"]
+    else:
+        keys = ["cell"]
+    joined = p.join(zc, keys, "inner")
+    refined = joined.filter(
+        _raycast_contains(F.col(lat_col), F.col(lon_col), F.col("geometry"))
+    )
+    return refined.drop("cell", "_salt") if salt > 0 else refined.drop("cell")
+
+
+def pip_join(pages: DataFrame, zones: DataFrame, strategy: str = "auto", **kw) -> DataFrame:
+    """Dispatch: broadcast for small zone tables, cell-bucketed otherwise."""
+    if strategy == "broadcast":
+        return pip_join_broadcast(pages, zones, **kw)
+    if strategy == "bucketed":
+        return pip_join_bucketed(pages, zones, **kw)
+    # auto: zones row count is cheap on dims; threshold mirrors Spark's
+    # broadcast-join default intent (10 MB dim ≈ few thousand polygons)
+    n = zones.limit(5001).count()
+    if n <= 5000:
+        return pip_join_broadcast(pages, zones, **{k: v for k, v in kw.items() if k in ("lat_col", "lon_col")})
+    return pip_join_bucketed(pages, zones, **kw)

@@ -1,0 +1,129 @@
+"""The `zones` table: WKB polygon join partitions (re-expresses the role of
+autotest/ogr/data/poly.shp per FIXTURES.md F2) plus, for every zone, an
+equivalent pure-SQL containment predicate usable as a DuckDB oracle.
+
+Zone boundaries are chosen OFF the page-coordinate lattices (pages.py):
+hotspot coords are ≡0 (mod 2000 e7-units) and uniform coords ≡0 (mod
+100000); all zone bounds are ≡1000 (mod 2000) and ≢0 (mod 100000), so no
+generated point can lie exactly on a zone edge and ray-cast-vs-inequality
+boundary semantics can never disagree on this data. (Exact-boundary parity
+itself is pinned by tests/test_kernels_pip_wkb.py against the reference
+rule, ogrlinearring.cpp:498-531.)
+
+Geometry coverage: plain rects, a triangle (non-axis-aligned edges), a
+polygon with a hole, a multipolygon, a tiny sliver, a hot-cell zone (NYC
+hotspot → skew), near-dateline zones, and a high-selectivity global band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernels import wkb as W
+
+
+def _rect_pred(minx, miny, maxx, maxy, lon="lon", lat="lat"):
+    return (
+        f"({lon} > {minx!r} AND {lon} < {maxx!r} AND {lat} > {miny!r} AND {lat} < {maxy!r})"
+    )
+
+
+def _tri_pred(a, b, c, lon="lon", lat="lat"):
+    """CCW triangle inside test: all three edge cross-products positive."""
+    def edge(p, q):
+        return (
+            f"(({q[0]!r} - {p[0]!r}) * ({lat} - {p[1]!r}) - "
+            f"({q[1]!r} - {p[1]!r}) * ({lon} - {p[0]!r})) > 0"
+        )
+
+    return f"({edge(a, b)} AND {edge(b, c)} AND {edge(c, a)})"
+
+
+def _zone_specs():
+    """Returns list of (zone_id, name, wkb_bytes, oracle_pred_sql)."""
+    Z = []
+
+    def rect(zid, name, minx, miny, maxx, maxy):
+        Z.append((zid, name, W.box_wkb(minx, miny, maxx, maxy), _rect_pred(minx, miny, maxx, maxy)))
+
+    # hot zones over the five hotspots (dense-cell skew per north rule)
+    rect(101, "nyc_core", -74.1001, 40.6001, -73.9001, 40.8001)
+    rect(102, "london_box", -0.2201, 51.4001, 0.0199, 51.6001)
+    # triangle around Tokyo hotspot (CCW)
+    tri = ((139.5901, 35.5801), (139.7901, 35.5801), (139.6901, 35.7801))
+    Z.append((103, "tokyo_tri", W.polygon_wkb([list(tri)]), _tri_pred(*tri)))
+    # polygon with a hole around São Paulo
+    outer = (-46.8001, -23.7001, -46.4001, -23.4001)
+    hole = (-46.7001, -23.6001, -46.6001, -23.5001)
+    Z.append(
+        (
+            104,
+            "saopaulo_holed",
+            W.polygon_wkb(
+                [
+                    [(outer[0], outer[1]), (outer[2], outer[1]), (outer[2], outer[3]), (outer[0], outer[3])],
+                    [(hole[0], hole[1]), (hole[2], hole[1]), (hole[2], hole[3]), (hole[0], hole[3])],
+                ]
+            ),
+            f"({_rect_pred(*outer)} AND NOT {_rect_pred(*hole)})",
+        )
+    )
+    # multipolygon near Delhi: two disjoint rects
+    ra = (77.1001, 28.5001, 77.3001, 28.7101)
+    rb = (76.9001, 28.3001, 77.0501, 28.4501)
+    Z.append(
+        (
+            105,
+            "delhi_multi",
+            W.multipolygon_wkb(
+                [
+                    [[(ra[0], ra[1]), (ra[2], ra[1]), (ra[2], ra[3]), (ra[0], ra[3])]],
+                    [[(rb[0], rb[1]), (rb[2], rb[1]), (rb[2], rb[3]), (rb[0], rb[3])]],
+                ]
+            ),
+            f"({_rect_pred(*ra)} OR {_rect_pred(*rb)})",
+        )
+    )
+    rect(106, "mid_atlantic", -40.005, 10.005, -20.005, 30.005)
+    rect(107, "nyc_sliver", -74.0001, 40.7001, -73.9961, 40.7041)
+    rect(108, "dateline_east", 179.005, -20.005, 179.995, 10.005)
+    rect(109, "dateline_west", -179.995, -20.005, -179.005, 10.005)
+    rect(110, "equator_band", -179.995, -5.005, 179.995, 5.005)
+    return Z
+
+
+def zones_df(spark: SparkSession) -> DataFrame:
+    """Build the zones DataFrame: zone_id, name, area, geometry(WKB)."""
+    rows = [
+        (zid, name, float(W.shoelace_area(wkb_)), bytearray(wkb_))
+        for zid, name, wkb_, _ in _zone_specs()
+    ]
+    schema = StructType(
+        [
+            StructField("zone_id", LongType(), False),
+            StructField("name", StringType(), False),
+            StructField("area", DoubleType(), False),
+            StructField("geometry", BinaryType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def zones_oracle_match_sql(page_rel: str = "pages", cols: str = "doc_id") -> str:
+    """DuckDB SQL: all (page, zone_id) containment pairs as UNION ALL of
+    per-zone predicate selects over `page_rel` (needs lat/lon columns)."""
+    parts = [
+        f"SELECT {cols}, CAST({zid} AS BIGINT) AS zone_id FROM {page_rel} "
+        f"WHERE lat IS NOT NULL AND {pred}"
+        for zid, _, _, pred in _zone_specs()
+    ]
+    return " UNION ALL ".join(parts)

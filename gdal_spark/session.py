@@ -1,0 +1,75 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults follow the scale guidance in SURVEY.md §4/§7: AQE on (runtime
+re-plan + skew-join splitting), Arrow for pandas_udf transport (the
+reference's own columnar batch model, ogrlayerarrow.cpp:1947), shuffle
+partitions sized for local mode but overridable for clusters.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make gdal_spark importable on executors regardless of cwd/deploy mode.
+
+    Zips the package once and registers it via addPyFile — the same
+    mechanism `spark-submit --py-files gdal_spark.zip` uses on a real
+    cluster (north rule). Without this, pandas_udf closures that reference
+    gdal_spark.kernels fail to unpickle on workers started outside the
+    repo directory.
+    """
+    import gdal_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(gdal_spark.__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "gdal_spark_pkg.zip")
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    ):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join("gdal_spark", os.path.relpath(full, pkg_dir))
+                        zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+
+
+def get_spark(
+    app_name: str = "gdal-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and master.startswith("local[*]"):
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch size: match the reference's columnar default of 65536
+        # rows/batch (ogrlayerarrow.cpp:1947)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
