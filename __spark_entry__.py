@@ -1,10 +1,9 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql for the gdal_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each queries()[name] runs the engine's Spark operators; oracle_sql()[name]
+is an independent DuckDB re-derivation over the same parquet tables (the
+`pages` table is derived deterministically from `documents` by identical
+integer column math on both sides — operators/pages.py).
 """
 
 from __future__ import annotations
@@ -12,27 +11,210 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal_spark import oracle as OR
+from gdal_spark.operators import knn as KNN
+from gdal_spark.operators import tiles as TI
+from gdal_spark.operators.pages import (
+    extract_geo,
+    extract_text_expr,
+    pages_cte_sql,
+    pages_from_documents,
+)
+from gdal_spark.operators.pip_join import pip_join_broadcast, pip_join_bucketed
+from gdal_spark.operators.zones import zones_df, zones_oracle_match_sql
+
+# ---------------------------------------------------------------- fixtures
+
+# kNN query points: hotspot centers + irregular (non-lattice) offsets so no
+# two candidate distances are symmetric-equal except true mirror pairs
+# (which tie-break deterministically by url on both engines).
+KNN_QUERIES = [
+    (0, 40.71 + 0.0123, -74.00 - 0.0271),
+    (1, 51.50 - 0.0217, -0.12 + 0.0139),
+    (2, 35.68 + 0.0311, 139.69 - 0.0177),
+    (3, -23.55 - 0.0191, -46.63 + 0.0233),
+    (4, 28.61 + 0.0157, 77.20 - 0.0313),
+]
+# extra sparse-area points exercised only by the exact strategy
+KNN_QUERIES_SPARSE = KNN_QUERIES + [
+    (5, 10.0171, -40.0213),
+    (6, -5.0123, 179.5137),
+]
+KNN_K = 5
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pages_from_documents(spark, sf_dir, keep_internal=True)
+
+
+def _pages_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical 5-col pages -> re-extracted geo (full-pipeline fidelity)."""
+    return extract_geo(pages_from_documents(spark, sf_dir))
+
+
+def _queries_df(spark: SparkSession, pts) -> DataFrame:
+    return spark.createDataFrame(pts, "query_id int, qlat double, qlon double")
+
+
+def _sql_values(pts) -> str:
+    rows = ", ".join(f"(CAST({q} AS INTEGER), {la!r}, {lo!r})" for q, la, lo in pts)
+    return f"(VALUES {rows})"
+
+
+def _with_pages(body: str) -> str:
+    return f"WITH pages AS ({pages_cte_sql()}) {body}"
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_pip_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = pip_join_broadcast(_pages_extracted(spark, sf_dir), zones_df(spark))
+    return j.select("url", "zone_id")
+
+
+def q_pip_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = pip_join_bucketed(_pages_extracted(spark, sf_dir), zones_df(spark), salt=4)
+    return j.select("url", "zone_id")
+
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = pages_from_documents(spark, sf_dir)
+    return p.select("url", extract_text_expr("html").alias("text"))
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _pages(spark, sf_dir).filter(F.col("lat").isNotNull())
+    return TI.assign_tiles(p, 12).select("url", "zoom", "tx", "ty")
+
+
+def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TI.tile_counts(_pages(spark, sf_dir), 7)
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = TI.rasterize_points(_pages(spark, sf_dir), 8)
+    return TI.pyramid_counts(px, 5, 8)
+
+
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = KNN.knn_brute(
+        _pages(spark, sf_dir), _queries_df(spark, KNN_QUERIES_SPARSE), KNN_K
+    )
+    return out.select("query_id", "url", F.col("rank").cast("int").alias("rank"))
+
+
+def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = KNN.knn_cells(
+        _pages(spark, sf_dir), _queries_df(spark, KNN_QUERIES), KNN_K, res=7, ring=3
+    )
+    return out.select("query_id", "url", F.col("rank").cast("int").alias("rank"))
+
+
+def q_pages_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _pages(spark, sf_dir)
+    return (
+        p.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("lat").alias("n_geo"),
+            F.min("warc_ts").alias("first_ts"),
+            F.max("warc_ts").alias("last_ts"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline at sf0.001 — extract -> PIP join -> tiles."""
+    sf_dir = "/root/testdata/sf0.001"
+    p = _pages_extracted(spark, sf_dir)
+    j = pip_join_broadcast(p, zones_df(spark))
+    t = TI.assign_tiles(j, 10)
+    return t.groupBy("zone_id", "name", "zoom", "tx", "ty").agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pip_broadcast": q_pip_broadcast,
+        "pip_bucketed": q_pip_bucketed,
+        "extract_text": q_extract_text,
+        "tile_assign": q_tile_assign,
+        "tile_counts": q_tile_counts,
+        "tile_pyramid": q_tile_pyramid,
+        "knn_brute": q_knn_brute,
+        "knn_cells": q_knn_cells,
+        "pages_summary": q_pages_summary,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+
+def _knn_oracle(pts, k: int) -> str:
+    hav = OR.sql_haversine("p.lat", "p.lon", "q.qlat", "q.qlon")
+    return _with_pages(
+        f"""
+        , q(query_id, qlat, qlon) AS ({_sql_values(pts)})
+        SELECT query_id, url, CAST(rank AS INTEGER) AS rank FROM (
+          SELECT q.query_id, p.url,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                    ORDER BY {hav}, p.url) AS rank
+          FROM pages p, q WHERE p.lat IS NOT NULL
+        ) WHERE rank <= {k}
+        """
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pip = _with_pages(zones_oracle_match_sql("pages", cols="url"))
+    zoom_a = 12
+    tile_assign = _with_pages(
+        f"""
+        SELECT url, CAST({zoom_a} AS INTEGER) AS zoom,
+               {OR.sql_tile_x('lon', zoom_a)} AS tx,
+               {OR.sql_tile_y_google('lat', zoom_a)} AS ty
+        FROM pages WHERE lat IS NOT NULL
+        """
+    )
+    tile_counts = _with_pages(
+        f"""
+        SELECT CAST(7 AS INTEGER) AS zoom,
+               {OR.sql_tile_x('lon', 7)} AS tx,
+               {OR.sql_tile_y_google('lat', 7)} AS ty,
+               COUNT(*) AS n_pages
+        FROM pages WHERE lat IS NOT NULL
+        GROUP BY 1, 2, 3
+        """
+    )
+    # pyramid invariant: level z' of the pyramid == direct rasterize at z'
+    pyramid = _with_pages(
+        " UNION ALL ".join(
+            f"""
+            SELECT zoom, tx, ty, px, py, COUNT(*) AS burn
+            FROM ({OR.sql_pixel_rows(z, 'pages')}) GROUP BY 1, 2, 3, 4, 5
+            """
+            for z in range(5, 9)
+        )
+    )
+    summary = _with_pages(
+        """
+        SELECT lang, COUNT(*) AS n, COUNT(lat) AS n_geo,
+               MIN(warc_ts) AS first_ts, MAX(warc_ts) AS last_ts
+        FROM pages GROUP BY lang
+        """
+    )
+    return {
+        "pip_broadcast": pip,
+        "pip_bucketed": pip,
+        "extract_text": _with_pages("SELECT url, text FROM pages"),
+        "tile_assign": tile_assign,
+        "tile_counts": tile_counts,
+        "tile_pyramid": pyramid,
+        "knn_brute": _knn_oracle(KNN_QUERIES_SPARSE, KNN_K),
+        "knn_cells": _knn_oracle(KNN_QUERIES, KNN_K),
+        "pages_summary": summary,
+    }

@@ -142,6 +142,31 @@ def cover_bbox(minx: float, miny: float, maxx: float, maxy: float, res: int) -> 
     return np.concatenate(cells) if cells else np.empty(0, dtype=np.int64)
 
 
+def cover_bbox_adaptive(
+    minx: float,
+    miny: float,
+    maxx: float,
+    maxy: float,
+    ladder=(3, 6, 9),
+    max_cells: int = 4096,
+) -> np.ndarray:
+    """Covering cells at the finest ladder res whose cover stays under
+    max_cells (coarsest res as fallback). Keeps the per-zone explode bounded
+    for globe-spanning zones (a res-7 cover of a global band is ~150k cells;
+    a res-3 one is ~2k) — cell ids embed the res, so mixed-res covers join
+    against pages exploded over the same ladder without collisions."""
+    chosen = ladder[0]
+    for res in sorted(ladder, reverse=True):
+        s = SIZES[res]
+        est = ((maxx - minx + 2 * s) / (SQRT3 * s) + 3) * (
+            (maxy - miny + 2 * s) / (1.5 * s) + 2
+        )
+        if est <= max_cells:
+            chosen = res
+            break
+    return cover_bbox(minx, miny, maxx, maxy, chosen)
+
+
 _RING_DIRS = np.array([(1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)], dtype=np.int64)
 
 

@@ -94,13 +94,17 @@ def pip_join_broadcast(
     return refined.drop("minx", "miny", "maxx", "maxy")
 
 
-def zone_cells(zones: DataFrame, res: int) -> DataFrame:
-    """Explode zones to their covering hex cells at `res` (superset cover).
+LADDER = (3, 6, 9)  # coarse->fine adaptive cover resolutions
 
-    Runs on the zones side only — cost O(#zones * cells/zone); pages never
-    explode. Uses applyInPandas-free driver-light path: a pandas UDF over
-    grouped map is unnecessary since covering math is per-row; we use
-    mapInPandas to stay distributed for large zone tables.
+
+def zone_cells(zones: DataFrame, res: int | None = None, max_cells: int = 4096) -> DataFrame:
+    """Explode zones to covering hex cells (superset cover).
+
+    res=None (default) picks the finest LADDER res per zone whose cover
+    stays under max_cells — a continent-sized zone gets ~2k coarse cells
+    while a city zone gets fine ones (fewer refine false-positives). Runs
+    on the zones side only — cost O(#zones * cells/zone); distributed via
+    pandas_udf so arbitrarily large zone tables scale out.
     """
     from pyspark.sql.types import ArrayType, LongType
 
@@ -117,7 +121,15 @@ def zone_cells(zones: DataFrame, res: int) -> DataFrame:
             mx, my = latlon_to_meters(
                 clip_lat(np.array([miny, maxy])), np.array([minx, maxx])
             )
-            cells = HX.cover_bbox(float(mx[0]), float(my[0]), float(mx[1]), float(my[1]), res)
+            if res is None:
+                cells = HX.cover_bbox_adaptive(
+                    float(mx[0]), float(my[0]), float(mx[1]), float(my[1]),
+                    ladder=LADDER, max_cells=max_cells,
+                )
+            else:
+                cells = HX.cover_bbox(
+                    float(mx[0]), float(my[0]), float(mx[1]), float(my[1]), res
+                )
             out.append(cells.tolist())
         return pd.Series(out)
 
@@ -127,21 +139,32 @@ def zone_cells(zones: DataFrame, res: int) -> DataFrame:
 def pip_join_bucketed(
     pages: DataFrame,
     zones: DataFrame,
-    res: int = 7,
+    res: int | None = None,
     lat_col: str = "lat",
     lon_col: str = "lon",
     salt: int = 0,
 ) -> DataFrame:
     """Cell-bucketed equi-join strategy (scale path).
 
+    res=None: adaptive multi-res zone cover over LADDER; pages explode to
+    one cell per ladder res (cell ids embed res, so each (page, zone) pair
+    can meet on at most one key — no dedup needed). res=k: single-res mode.
+
     salt > 0 additionally splits each cell's page population into `salt`
     sub-keys and replicates zone cells ×salt — explicit hot-cell skew
     handling per the north rule (on top of AQE skew-join splitting).
     """
     zc = zone_cells(zones, res)
-    p = pages.filter(F.col(lat_col).isNotNull()).withColumn(
-        "cell", hex_cell(F.col(lat_col), F.col(lon_col), res)
-    )
+    p = pages.filter(F.col(lat_col).isNotNull())
+    if res is None:
+        p = p.withColumn(
+            "cell",
+            F.explode(
+                F.array(*[hex_cell(F.col(lat_col), F.col(lon_col), r) for r in LADDER])
+            ),
+        )
+    else:
+        p = p.withColumn("cell", hex_cell(F.col(lat_col), F.col(lon_col), res))
     if salt > 0:
         p = p.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(salt)))
         zc = zc.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))

@@ -1,0 +1,91 @@
+"""DuckDB oracle-SQL fragments mirroring the engine's JVM column math.
+
+Every fragment reproduces the corresponding functions/geo.py expression with
+the SAME operation order and the SAME double literals, so Spark and DuckDB
+compute bit-identical doubles wherever the math is rational (integer lattice
+inputs, exact literals); transcendental steps (log/tan/trig) agree to the
+libm/JVM correctly-rounded results, and all query fixtures keep data away
+from decision boundaries so a last-ulp difference can never flip a
+floor/ceil/comparison (see operators/pages.py lattice notes).
+
+Reference semantics mirrored here (for judge parity checks):
+  * GlobalMercator chain — gdal2tiles.py:422-531 (LatLonToMeters,
+    MetersToPixels, PixelsToTile ceil(p/256)-1 — NO clamp, so lon=-180
+    maps to tx=-1 exactly as the reference does; GoogleTile y-flip).
+  * point burn = integer truncation of the pixel coordinate
+    (llrasterize.cpp:270-278).
+"""
+
+from __future__ import annotations
+
+from .functions.geo import INITIAL_RESOLUTION, MAX_LATITUDE, ORIGIN_SHIFT, TILE_SIZE
+
+PI = 3.141592653589793
+PI_OVER_180 = PI / 180.0  # 0.017453292519943295
+
+
+def resolution(zoom: int) -> float:
+    return INITIAL_RESOLUTION / (2**zoom)
+
+
+def sql_mercator_x(lon: str) -> str:
+    return f"(({lon}) * {ORIGIN_SHIFT!r} / 180.0)"
+
+
+def sql_clip_lat(lat: str) -> str:
+    return f"GREATEST({-MAX_LATITUDE!r}, LEAST({MAX_LATITUDE!r}, {lat}))"
+
+
+def sql_mercator_y(lat: str) -> str:
+    clipped = sql_clip_lat(lat)
+    return (
+        f"((LN(TAN((90.0 + {clipped}) * {PI!r} / 360.0)) / {PI_OVER_180!r})"
+        f" * {ORIGIN_SHIFT!r} / 180.0)"
+    )
+
+
+def sql_pixels(m: str, zoom: int) -> str:
+    return f"(({m} + {ORIGIN_SHIFT!r}) / {resolution(zoom)!r})"
+
+
+def sql_pixels_to_tile(p: str) -> str:
+    return f"(CAST(CEIL({p} / 256.0) AS BIGINT) - 1)"
+
+
+def sql_tile_x(lon: str, zoom: int) -> str:
+    return sql_pixels_to_tile(sql_pixels(sql_mercator_x(lon), zoom))
+
+
+def sql_tile_y_tms(lat: str, zoom: int) -> str:
+    return sql_pixels_to_tile(sql_pixels(sql_mercator_y(lat), zoom))
+
+
+def sql_tile_y_google(lat: str, zoom: int) -> str:
+    return f"({2**zoom - 1} - {sql_tile_y_tms(lat, zoom)})"
+
+
+def sql_pixel_rows(zoom: int, pages: str = "p") -> str:
+    """Per-page (zoom,tx,ty,px,py) identical to operators/tiles.with_pixels
+    (google scheme). Emits a SELECT over `pages` (needs lat/lon)."""
+    gpx = f"CAST(FLOOR({sql_pixels(sql_mercator_x('lon'), zoom)}) AS BIGINT)"
+    gpy = f"CAST(FLOOR({sql_pixels(sql_mercator_y('lat'), zoom)}) AS BIGINT)"
+    tx = sql_tile_x("lon", zoom)
+    ty_tms = sql_tile_y_tms("lat", zoom)
+    return f"""
+      SELECT CAST({zoom} AS INTEGER) AS zoom,
+             {tx} AS tx,
+             ({2**zoom - 1} - {ty_tms}) AS ty,
+             CAST({gpx} - {tx} * {TILE_SIZE} AS INTEGER) AS px,
+             CAST({TILE_SIZE - 1} - ({gpy} - {ty_tms} * {TILE_SIZE}) AS INTEGER) AS py
+      FROM {pages} WHERE lat IS NOT NULL
+    """
+
+
+def sql_haversine(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Mirrors functions/geo.haversine_m op order exactly."""
+    a = (
+        f"(POW(SIN(RADIANS(({lat2}) - ({lat1})) / 2), 2) + "
+        f"COS(RADIANS({lat1})) * COS(RADIANS({lat2})) * "
+        f"POW(SIN(RADIANS(({lon2}) - ({lon1})) / 2), 2))"
+    )
+    return f"({2.0 * 6378137.0!r} * ASIN(SQRT({a})))"
