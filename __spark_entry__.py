@@ -14,7 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gdal_spark import oracle as OR
+from gdal_spark.operators import dedup as DD
 from gdal_spark.operators import knn as KNN
+from gdal_spark.operators import similarity as SIM
+from gdal_spark.operators import textstats as TS
 from gdal_spark.operators import tiles as TI
 from gdal_spark.operators.pages import (
     extract_geo,
@@ -126,6 +129,55 @@ def q_pages_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_K = 10
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_token_stats(spark, sf_dir):
+    return TS.token_stats(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    return TS.quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return TS.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return TS.fingerprint(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return DD.dedup_exact(DD.corpus_df(spark, sf_dir))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return DD.lsh_pairs(DD.corpus_df(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir):
+    return DD.simhash(DD.corpus_df(spark, sf_dir))
+
+
+def q_ann_brute(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    return SIM.ann_brute(e, SIM.queries_subset(e), ANN_K)
+
+
+def q_ann_lsh(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    return SIM.ann_lsh(e, SIM.queries_subset(e), ANN_K)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full pipeline at sf0.001 — extract -> PIP join -> tiles."""
     sf_dir = "/root/testdata/sf0.001"
@@ -148,6 +200,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute": q_knn_brute,
         "knn_cells": q_knn_cells,
         "pages_summary": q_pages_summary,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "simhash": q_simhash,
+        "ann_brute": q_ann_brute,
+        "ann_lsh": q_ann_lsh,
     }
 
 
@@ -217,4 +278,13 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute": _knn_oracle(KNN_QUERIES_SPARSE, KNN_K),
         "knn_cells": _knn_oracle(KNN_QUERIES, KNN_K),
         "pages_summary": summary,
+        "token_stats": TS.token_stats_sql(),
+        "quality": TS.quality_score_sql(),
+        "lang_id": TS.lang_id_sql(),
+        "fingerprint": TS.fingerprint_sql(),
+        "dedup_exact": f"WITH corpus AS ({DD.corpus_cte_sql()}) {DD.dedup_exact_sql()}",
+        "dedup_minhash": f"WITH corpus AS ({DD.corpus_cte_sql()}) {DD.lsh_pairs_sql()}",
+        "simhash": f"WITH corpus AS ({DD.corpus_cte_sql()}) {DD.simhash_sql()}",
+        "ann_brute": SIM.ann_brute_sql(ANN_K),
+        "ann_lsh": SIM.ann_lsh_sql(ANN_K),
     }

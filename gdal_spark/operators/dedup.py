@@ -1,0 +1,241 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash.
+
+The scale-path design (north rule: explicit partitioning/shuffle):
+
+  * exact — one hash aggregation on md5(text): map-side partial agg, then
+    a shuffle on the 128-bit digest (uniform keys, no skew).
+  * MinHash+LSH — signatures are computed scan-side with JVM higher-order
+    functions (md5 per shingle per seed — no Python); banding turns
+    near-dup search into B equi-joins on band digests, each a plain hash
+    shuffle; candidate verification re-checks true shingle Jaccard. This is
+    the shingle->minhash->band->bucket-join pipeline; cost is linear scan +
+    joins whose key cardinality ~ corpus size (no quadratic step).
+  * SimHash — 16-bit signature from per-token md5-derived bit votes; equal
+    signatures = candidate near-dups (single groupBy).
+
+Everything has an exact DuckDB oracle (same md5, same integer math).
+
+The mutated `corpus` builder plants deterministic exact and near
+duplicates so dedup operators have real work at every scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NUM_HASHES = 12
+BAND_ROWS = 3  # 4 bands x 3 rows
+JACCARD_THRESHOLD = 0.6
+SHINGLE = 3
+
+
+# ------------------------------------------------------------------ corpus
+
+
+def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + planted duplicates: exact copies (doc_id+2_000_000, every
+    10th doc) and near copies with one token substituted (doc_id+1_000_000,
+    every 7th doc)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("replace(text, 'table', 'desk')").alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def corpus_cte_sql() -> str:
+    return """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, replace(text, 'table', 'desk') AS text
+      FROM documents WHERE doc_id % 7 = 0
+    """
+
+
+# ------------------------------------------------------------------ exact
+
+
+def dedup_exact(corpus: DataFrame) -> DataFrame:
+    """Group by content digest; keep_id = min doc_id (first-writer-wins)."""
+    return (
+        corpus.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def dedup_exact_sql(rel: str = "corpus") -> str:
+    return f"""
+      SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM {rel} GROUP BY md5(text)
+    """
+
+
+# ------------------------------------------------------------------ minhash
+
+
+def _shingles_expr(text_col: str) -> str:
+    """Distinct word 3-shingles (Spark SQL, 0-based array indexing)."""
+    t = f"split({text_col}, ' ')"
+    return (
+        f"array_distinct(transform(sequence(0, size({t}) - {SHINGLE}), "
+        f"i -> concat({t}[i], ' ', {t}[i+1], ' ', {t}[i+2])))"
+    )
+
+
+def _shingles_duck(text_col: str) -> str:
+    """Same shingles in DuckDB (1-based lists; range end-exclusive)."""
+    t = f"str_split({text_col}, ' ')"
+    return (
+        f"list_distinct(list_transform(range(1, len({t}) - {SHINGLE} + 2), "
+        f"i -> concat({t}[i], ' ', {t}[i+1], ' ', {t}[i+2])))"
+    )
+
+
+def _sig_expr(shingles: str, j: int) -> str:
+    return f"array_min(transform({shingles}, s -> md5(concat('{j}:', s))))"
+
+
+def _sig_duck(shingles: str, j: int) -> str:
+    return f"list_min(list_transform({shingles}, s -> md5(concat('{j}:', s))))"
+
+
+def minhash_signatures(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id, shingles, band_0..band_{B-1} (md5 of BAND_ROWS signature
+    rows). All JVM-side higher-order functions."""
+    sh = _shingles_expr(text_col)
+    df = corpus.filter(F.expr(f"size(split({text_col}, ' ')) >= {SHINGLE}")).withColumn(
+        "shingles", F.expr(sh)
+    )
+    sigs = [_sig_expr("shingles", j) for j in range(NUM_HASHES)]
+    for b in range(NUM_HASHES // BAND_ROWS):
+        chunk = sigs[b * BAND_ROWS : (b + 1) * BAND_ROWS]
+        df = df.withColumn(f"band_{b}", F.expr(f"md5(concat({', '.join(chunk)}))"))
+    return df
+
+
+def lsh_pairs(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """Candidate pairs colliding in >=1 band, verified by true shingle
+    Jaccard >= JACCARD_THRESHOLD. Output: id_a < id_b, n_common_bands."""
+    nb = NUM_HASHES // BAND_ROWS
+    sigs = minhash_signatures(corpus, text_col)
+    bands = sigs.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("bh")) for b in range(nb)])
+        ).alias("bb"),
+    ).select("doc_id", "shingles", "bb.band_id", "bb.bh")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_common_bands"),
+            F.first("a.shingles").alias("sa"),
+            F.first("b.shingles").alias("sb"),
+        )
+    )
+    jac = F.expr("CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb))")
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b", "n_common_bands")
+    )
+
+
+def lsh_pairs_sql(rel: str = "corpus", text_col: str = "text") -> str:
+    nb = NUM_HASHES // BAND_ROWS
+    sh = _shingles_duck(text_col)
+    band_rows = []
+    for b in range(nb):
+        chunk = [_sig_duck("shingles", j) for j in range(b * BAND_ROWS, (b + 1) * BAND_ROWS)]
+        band_rows.append(
+            f"SELECT doc_id, shingles, {b} AS band_id, md5(concat({', '.join(chunk)})) AS bh FROM sh"
+        )
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+      , sh AS (
+          SELECT doc_id, {sh} AS shingles FROM {rel}
+          WHERE len(str_split({text_col}, ' ')) >= {SHINGLE}
+      ), bands AS ({bands}),
+      cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               COUNT(*) AS n_common_bands,
+               ANY_VALUE(a.shingles) AS sa, ANY_VALUE(b.shingles) AS sb
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+      SELECT id_a, id_b, n_common_bands FROM cand
+      WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa, sb))) >= {JACCARD_THRESHOLD}
+    """
+
+
+# ------------------------------------------------------------------ simhash
+
+_HEXMAP = "'0123456789abcdef'"
+
+
+def _tok_val(tok: str, duck: bool) -> str:
+    """First 16 bits of md5(tok) as an int, via hex-char positions
+    (cross-engine: no conv() in DuckDB)."""
+    pos = "strpos" if duck else "instr"
+    parts = [
+        f"(({pos}({_HEXMAP}, substr(md5({tok}), {i + 1}, 1)) - 1) * {16 ** (3 - i)})"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _simhash_expr(text_col: str, duck: bool) -> str:
+    t = f"str_split({text_col}, ' ')" if duck else f"split({text_col}, ' ')"
+    tf = "list_transform" if duck else "transform"
+    v = _tok_val("tok", duck)
+    bits = []
+    for i in range(16):
+        vote = f"{tf}({t}, tok -> 2 * (CAST(FLOOR({v} / {2 ** i}) AS BIGINT) % 2) - 1)"
+        total = (
+            f"list_sum({vote})" if duck else f"aggregate({vote}, 0L, (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {total} > 0 THEN {2 ** i} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def simhash(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id, 16-bit simhash (per-token md5 bit votes)."""
+    return corpus.select(
+        "doc_id", F.expr(_simhash_expr(text_col, False)).cast("int").alias("simhash")
+    )
+
+
+def simhash_sql(rel: str = "corpus", text_col: str = "text") -> str:
+    return f"""
+      SELECT doc_id, CAST({_simhash_expr(text_col, True)} AS INTEGER) AS simhash
+      FROM {rel}
+    """
+
+
+def simhash_pairs(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """Docs sharing an identical simhash (hamming-0 candidates)."""
+    s = simhash(corpus, text_col)
+    a, b = s.alias("a"), s.alias("b")
+    return a.join(
+        b, (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.simhash").alias("simhash"),
+    )

@@ -1,0 +1,97 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.operators import dedup as DD
+from gdal_spark.operators import multimodal as MM
+from gdal_spark.operators import similarity as SIM
+from gdal_spark.operators import textstats as TS
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return DD.corpus_df(spark, sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_dedup_exact_finds_planted_copies(corpus):
+    groups = DD.dedup_exact(corpus).collect()
+    dup_groups = [g for g in groups if g["n_copies"] > 1]
+    # every 10th doc has an exact copy planted
+    assert len(dup_groups) >= 5
+    for g in dup_groups:
+        assert g["keep_id"] < 1_000_000  # original wins
+
+
+def test_lsh_finds_planted_near_dups(corpus):
+    pairs = {(r["id_a"], r["id_b"]) for r in DD.lsh_pairs(corpus).collect()}
+    # near-dup: doc_id -> doc_id + 1_000_000 with one token substituted;
+    # only docs actually containing 'table' changed, others are exact dups
+    originals = {r["doc_id"] for r in corpus.filter(F.col("doc_id") < 1_000_000).collect()}
+    planted = [d for d in originals if d % 7 == 0]
+    found = sum(1 for d in planted if (d, d + 1_000_000) in pairs)
+    # `replace` swaps every 'table' occurrence, so some planted pairs have
+    # Jaccard well under the 4-band/3-row collision curve; ~0.8+ recall is
+    # the theoretically expected regime for this banding
+    assert found / len(planted) > 0.75
+
+
+def test_simhash_stable_and_near(corpus):
+    sh = {r["doc_id"]: r["simhash"] for r in DD.simhash(corpus).collect()}
+    exact_ids = [d for d in sh if d >= 2_000_000]
+    assert exact_ids
+    for d in exact_ids:
+        assert sh[d] == sh[d - 2_000_000]  # identical text -> identical simhash
+    assert all(0 <= v < 65536 for v in sh.values())
+
+
+def test_ann_lsh_subset_of_brute_candidates(spark, emb):
+    q = SIM.queries_subset(emb)
+    brute = SIM.ann_brute(emb, q, 10).collect()
+    lsh = SIM.ann_lsh(emb, q, 10).collect()
+    # rank 1 is always the query itself (cos=1, same bucket)
+    top1_brute = {r["query_id"]: r["vec_id"] for r in brute if r["rank"] == 1}
+    top1_lsh = {r["query_id"]: r["vec_id"] for r in lsh if r["rank"] == 1}
+    assert top1_brute == {q: q for q in top1_brute}
+    assert top1_lsh == top1_brute
+    # lsh results are a subset of the corpus restricted to the bucket;
+    # measure recall@10 against brute (report-only floor)
+    bset = {(r["query_id"], r["vec_id"]) for r in brute}
+    lset = {(r["query_id"], r["vec_id"]) for r in lsh}
+    recall = len(bset & lset) / len(bset)
+    assert recall > 0.05
+
+
+def test_lang_id_and_quality(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = TS.lang_id(docs).collect()
+    assert all(r["pred_lang"] in ("en", "de", "fr", "es", "ja", "und") for r in out)
+    q = TS.quality_score(docs).collect()
+    assert sum(1 for r in q if r["passes_quality"]) > len(q) // 2
+
+
+def test_fingerprint_identifies_exact_dups(corpus):
+    fp = {r["doc_id"]: r["fp"] for r in TS.fingerprint(corpus).collect()}
+    for d in [k for k in fp if k >= 2_000_000]:
+        assert fp[d] == fp[d - 2_000_000]
+
+
+def test_multimodal_plumbing(spark):
+    media = MM.synth_media(spark, 30)
+    feats = MM.image_features(media).collect()
+    assert len(feats) == 10  # every 3rd is an image
+    for r in feats:
+        assert len(r["hist"]) == 16
+        assert sum(r["hist"]) == 32 * 24
+    resized = MM.resize_images(media, 8, 6).collect()
+    assert len(resized) == 10
+    for r in resized:
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 6
+        assert len(bytes(r["payload"])) == 8 * 6 * 3
