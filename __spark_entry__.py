@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from gdal_spark import oracle as OR
 from gdal_spark.operators import dedup as DD
+from gdal_spark.operators import ogr_sql as OG
 from gdal_spark.operators import knn as KNN
 from gdal_spark.operators import similarity as SIM
 from gdal_spark.operators import textstats as TS
@@ -178,6 +179,109 @@ def q_ann_lsh(spark, sf_dir):
     return SIM.ann_lsh(e, SIM.queries_subset(e), ANN_K)
 
 
+# ------------------------------------------- OGR SQL dialect semantics
+
+
+def q_ogr_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return OG.summary_record(
+        li,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+        F.sum(OG.cents("l_quantity")).alias("sum_qty_cents"),
+        F.min(OG.cents("l_extendedprice")).alias("min_price_cents"),
+        F.max(OG.cents("l_extendedprice")).alias("max_price_cents"),
+        (F.sum(OG.cents("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty_x100"
+        ),
+        F.round(F.stddev_pop(OG.cents("l_quantity")), 4).alias("std_qty_x100"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+def q_ogr_distinct(spark, sf_dir):
+    return OG.distinct_list(spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderpriority")
+
+
+def q_ogr_first_match_join(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_orderpriority"
+    )
+    return OG.first_match_left_join(
+        cust.select("c_custkey", "c_name"), orders, "c_custkey", "o_orderkey",
+        ["o_orderkey", "o_orderpriority"],
+    )
+
+
+def q_ogr_order_limit(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(5)
+        .limit(20)
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+def q_ogr_like_substr(spark, sf_dir):
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").like("%re%").alias("has_re"),
+        F.col("p_name").ilike("%RE%").alias("has_re_i"),
+        OG.ogr_substr("p_name", -4).alias("tail4"),
+        OG.ogr_substr("p_name", 2, 3).alias("mid23"),
+        OG.ogr_substr("p_name", 0, 2).alias("zero2"),
+        OG.ogr_substr("p_name", 5).alias("from5"),
+    )
+
+
+def q_ogr_union_all(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = o.filter(F.col("o_totalprice") > 100000).select(
+        "o_orderkey", F.lit("big").alias("branch")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("urgent").alias("branch")
+    )
+    return big.unionByName(urgent)
+
+
+def q_ogr_cast_arith(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        OG.ogr_cast_int(F.col("l_quantity")).alias("qty_int"),
+        OG.cents("l_discount").alias("disc_cents"),
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 97).alias("mod97"),
+        F.concat("l_returnflag", F.lit("|"), "l_linestatus").alias("flags"),
+    )
+
+
+def q_events_window(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(OG.cents("value")).alias("sum_value_cents"),
+        )
+    )
+
+
+def q_events_lag(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", F.lag("event_id").over(w).alias("prev_event_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full pipeline at sf0.001 — extract -> PIP join -> tiles."""
     sf_dir = "/root/testdata/sf0.001"
@@ -209,6 +313,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_brute": q_ann_brute,
         "ann_lsh": q_ann_lsh,
+        "ogr_summary": q_ogr_summary,
+        "ogr_distinct": q_ogr_distinct,
+        "ogr_first_match_join": q_ogr_first_match_join,
+        "ogr_order_limit": q_ogr_order_limit,
+        "ogr_like_substr": q_ogr_like_substr,
+        "ogr_union_all": q_ogr_union_all,
+        "ogr_cast_arith": q_ogr_cast_arith,
+        "events_window": q_events_window,
+        "events_lag": q_events_lag,
     }
 
 
@@ -287,4 +400,64 @@ def oracle_sql() -> dict[str, str]:
         "simhash": f"WITH corpus AS ({DD.corpus_cte_sql()}) {DD.simhash_sql()}",
         "ann_brute": SIM.ann_brute_sql(ANN_K),
         "ann_lsh": SIM.ann_lsh_sql(ANN_K),
+        "ogr_summary": f"""
+            SELECT COUNT(*) AS n_rows,
+                   COUNT(DISTINCT l_returnflag) AS n_flags,
+                   CAST(SUM({OG.cents_sql('l_quantity')}) AS BIGINT) AS sum_qty_cents,
+                   MIN({OG.cents_sql('l_extendedprice')}) AS min_price_cents,
+                   MAX({OG.cents_sql('l_extendedprice')}) AS max_price_cents,
+                   CAST(SUM({OG.cents_sql('l_quantity')}) AS DOUBLE) / COUNT(*) AS avg_qty_x100,
+                   ROUND(STDDEV_POP({OG.cents_sql('l_quantity')}), 4) AS std_qty_x100,
+                   MIN(l_shipdate) AS first_ship,
+                   MAX(l_shipdate) AS last_ship
+            FROM lineitem
+        """,
+        "ogr_distinct": "SELECT DISTINCT o_orderpriority FROM orders",
+        "ogr_first_match_join": """
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderpriority
+            FROM customer c LEFT JOIN (
+              SELECT o_custkey, o_orderkey, o_orderpriority,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+              FROM orders
+            ) o ON o.o_custkey = c.c_custkey AND o.rn = 1
+        """,
+        "ogr_order_limit": """
+            SELECT o_orderkey, o_custkey FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 5
+        """,
+        "ogr_like_substr": f"""
+            SELECT p_partkey,
+                   p_name LIKE '%re%' AS has_re,
+                   p_name ILIKE '%RE%' AS has_re_i,
+                   {OG.ogr_substr_sql('p_name', -4)} AS tail4,
+                   {OG.ogr_substr_sql('p_name', 2, 3)} AS mid23,
+                   {OG.ogr_substr_sql('p_name', 0, 2)} AS zero2,
+                   {OG.ogr_substr_sql('p_name', 5)} AS from5
+            FROM part
+        """,
+        "ogr_union_all": """
+            SELECT o_orderkey, 'big' AS branch FROM orders WHERE o_totalprice > 100000
+            UNION ALL
+            SELECT o_orderkey, 'urgent' AS branch FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
+        "ogr_cast_arith": f"""
+            SELECT l_orderkey, l_linenumber,
+                   CAST(TRUNC(l_quantity) AS BIGINT) AS qty_int,
+                   {OG.cents_sql('l_discount')} AS disc_cents,
+                   (l_orderkey * 7 + l_linenumber) % 97 AS mod97,
+                   concat(l_returnflag, '|', l_linestatus) AS flags
+            FROM lineitem
+        """,
+        "events_window": f"""
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM({OG.cents_sql('value')}) AS BIGINT) AS sum_value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "events_lag": """
+            SELECT user_id, event_id,
+                   LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev_event_id
+            FROM events
+        """,
     }
