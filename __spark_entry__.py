@@ -27,7 +27,12 @@ from gdal_spark.operators.pages import (
     pages_from_documents,
 )
 from gdal_spark.operators.pip_join import pip_join_broadcast, pip_join_bucketed
-from gdal_spark.operators.zones import zones_df, zones_oracle_match_sql
+from gdal_spark.operators.zones import (
+    zones_df,
+    zones_oracle_match_sql,
+    zones_polygonize_oracle_sql,
+    zones_rasterize_oracle_sql,
+)
 
 # ---------------------------------------------------------------- fixtures
 
@@ -100,7 +105,7 @@ def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     px = TI.rasterize_points(_pages(spark, sf_dir), 8)
-    return TI.pyramid_counts(px, 5, 8)
+    return TI.pyramid_counts_fast(px, 5, 8)
 
 
 def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,6 +266,36 @@ def q_ogr_cast_arith(spark, sf_dir):
     )
 
 
+# axis-aligned zones only: on slanted edges the scanline crossing
+# (floor(intersect+0.5), llrasterize.cpp:109) and the oracle's
+# cross-product predicate disagree within a float-ulp band (~6 px per
+# 184k at z10) — the indeterminacy the reference itself documents
+# (llrasterize.cpp:41-46). The triangle zone is covered by pytest with a
+# tolerance instead.
+RASTERIZE_ZONES = (101, 102, 104, 105, 107)
+RASTERIZE_ZOOM = 10
+
+
+def q_rasterize_zones(spark, sf_dir):
+    from gdal_spark.operators.rasterize_poly import rasterize_zones
+
+    z = zones_df(spark).filter(F.col("zone_id").isin(list(RASTERIZE_ZONES)))
+    return rasterize_zones(z, RASTERIZE_ZOOM)
+
+
+POLYGONIZE_ZONES = (102, 104, 105, 108, 109)
+POLYGONIZE_ZOOM = 8
+
+
+def q_polygonize(spark, sf_dir):
+    from gdal_spark.operators.polygonize import component_summary, polygonize
+    from gdal_spark.operators.rasterize_poly import rasterize_zones
+
+    z = zones_df(spark).filter(F.col("zone_id").isin(list(POLYGONIZE_ZONES)))
+    px = rasterize_zones(z, POLYGONIZE_ZOOM).withColumnRenamed("zone_id", "value")
+    return component_summary(polygonize(px, zoom=POLYGONIZE_ZOOM))
+
+
 def q_events_window(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -320,6 +355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_like_substr": q_ogr_like_substr,
         "ogr_union_all": q_ogr_union_all,
         "ogr_cast_arith": q_ogr_cast_arith,
+        "rasterize_zones": q_rasterize_zones,
+        "polygonize": q_polygonize,
         "events_window": q_events_window,
         "events_lag": q_events_lag,
     }
@@ -448,6 +485,8 @@ def oracle_sql() -> dict[str, str]:
                    concat(l_returnflag, '|', l_linestatus) AS flags
             FROM lineitem
         """,
+        "rasterize_zones": zones_rasterize_oracle_sql(RASTERIZE_ZOOM, RASTERIZE_ZONES),
+        "polygonize": zones_polygonize_oracle_sql(POLYGONIZE_ZOOM, POLYGONIZE_ZONES),
         "events_window": f"""
             SELECT date_trunc('day', ts) AS day, event_type,
                    COUNT(*) AS n,

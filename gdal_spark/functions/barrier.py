@@ -1,0 +1,19 @@
+"""Expression-placement barriers.
+
+`once(col)` wraps a column in `element_at(shuffle(array(col)), 1)` — a
+JVM-cheap no-op that is flagged nondeterministic, which stops Catalyst
+from (a) inlining an expensive expression into every downstream consumer
+(CollapseProject) and (b) pushing a refine filter into a join condition
+where it would be re-evaluated per candidate pair instead of per
+surviving row. Use it deliberately and sparingly: it also blocks
+legitimate predicate pushdown through itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def once(col: Column) -> Column:
+    return F.element_at(F.shuffle(F.array(col)), 1)

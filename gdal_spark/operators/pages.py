@@ -145,6 +145,9 @@ def extract_text_expr(html_col: str = "html") -> F.Column:
     )
 
 
+from ..functions.barrier import once as _once
+
+
 def extract_geo(df: DataFrame, html_col: str = "html") -> DataFrame:
     """Re-extract lat/lon from the geo.position meta tag (NULL if absent).
 
@@ -157,8 +160,8 @@ def extract_geo(df: DataFrame, html_col: str = "html") -> DataFrame:
     lat_e7 = F.when(has, content.cast("long")).otherwise(F.lit(None).cast("long"))
     lon_e7 = F.when(has, content2.cast("long")).otherwise(F.lit(None).cast("long"))
     return (
-        df.withColumn("lat_e7", lat_e7)
-        .withColumn("lon_e7", lon_e7)
+        df.withColumn("lat_e7", _once(lat_e7))
+        .withColumn("lon_e7", _once(lon_e7))
         .withColumn("lat", F.col("lat_e7").cast("double") / 10000000.0)
         .withColumn("lon", F.col("lon_e7").cast("double") / 10000000.0)
     )

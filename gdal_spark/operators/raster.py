@@ -1,0 +1,213 @@
+"""Distributed raster model + warp/stats operators.
+
+Raster = DataFrame of blocks (SURVEY.md §1.1): one row per block
+(bx, by, block: array<double> row-major, w, h actual block size) plus a
+RasterMeta carrying (width, height, geotransform, crs, block size,
+nodata) — the GDALDataset/GDALRasterBand split re-expressed for Spark.
+
+Warp (gdalwarp re-expression, SURVEY.md §2.9):
+  1. build the dst block skeleton (spark.range — no data motion);
+  2. per dst block, compute the needed src window with closed-form corner
+     transforms (ComputeSourceWindow analogue,
+     /root/reference/alg/gdalwarpoperation.cpp) and EXPLODE the list of
+     covering src block ids — join keys computed as column math;
+  3. equi-join src blocks on (sbx, sby) — hash join, AQE-balanced; a dst
+     block meets each needed src block exactly once;
+  4. groupBy dst block + applyInPandas: assemble the src mosaic, run the
+     reference-exact numpy kernel (kernels/warp.py) once per block.
+
+Chunking ≡ partitioning: the reference's ChunkAndWarpImage memory-budget
+recursion (gdalwarpoperation.cpp:1019) maps to block size choice; its
+-multi IO/compute overlap maps to Spark task pipelining.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..kernels import warp as WK
+from ..kernels.checksum import checksum as _checksum
+
+
+@dataclass(frozen=True)
+class RasterMeta:
+    width: int
+    height: int
+    gt: tuple  # 6-coeff affine, gcore/gdal_priv.h:932
+    crs: str
+    block: int = 256
+    nodata: float = 0.0
+
+    @property
+    def nbx(self) -> int:
+        return -(-self.width // self.block)
+
+    @property
+    def nby(self) -> int:
+        return -(-self.height // self.block)
+
+
+def raster_from_array(spark: SparkSession, arr: np.ndarray, gt, crs, block: int = 256,
+                      nodata: float = 0.0):
+    """Driver-side array -> (blocks DataFrame, RasterMeta). Test/fixture
+    path; production rasters arrive as block tables already."""
+    h, w = arr.shape
+    meta = RasterMeta(w, h, tuple(float(g) for g in gt), crs, block, nodata)
+    rows = []
+    for by in range(meta.nby):
+        for bx in range(meta.nbx):
+            sub = arr[by * block : (by + 1) * block, bx * block : (bx + 1) * block]
+            rows.append(
+                (bx, by, int(sub.shape[1]), int(sub.shape[0]),
+                 [float(v) for v in sub.ravel()])
+            )
+    df = spark.createDataFrame(
+        rows, "bx int, by int, w int, h int, block array<double>"
+    )
+    return df, meta
+
+
+def raster_to_array(blocks: DataFrame, meta: RasterMeta) -> np.ndarray:
+    """Collect a (small) raster back to a driver array (tests/goldens)."""
+    out = np.full((meta.height, meta.width), meta.nodata, dtype=np.float64)
+    for r in blocks.collect():
+        x0, y0 = r["bx"] * meta.block, r["by"] * meta.block
+        out[y0 : y0 + r["h"], x0 : x0 + r["w"]] = np.array(
+            r["block"], dtype=np.float64
+        ).reshape(r["h"], r["w"])
+    return out
+
+
+def _dst_skeleton(spark: SparkSession, dst: RasterMeta) -> DataFrame:
+    n = dst.nbx * dst.nby
+    return spark.range(n).select(
+        (F.col("id") % dst.nbx).cast("int").alias("dbx"),
+        (F.col("id") / dst.nbx).cast("int").alias("dby"),
+    )
+
+
+def warp(
+    src_blocks: DataFrame,
+    src: RasterMeta,
+    dst: RasterMeta,
+    resampling: str = "near",
+) -> DataFrame:
+    """Warp a block raster onto the dst grid. Returns dst block rows."""
+    spark = src_blocks.sparkSession
+    skel = _dst_skeleton(spark, dst)
+
+    bs, sbs = dst.block, src.block
+    src_gt, dst_gt = src.gt, dst.gt
+    src_crs, dst_crs = src.crs, dst.crs
+    src_w, src_h = src.width, src.height
+    nbx_src, nby_src = src.nbx, src.nby
+    nodata = dst.nodata
+
+    @F.pandas_udf("array<struct<sbx:int,sby:int>>")
+    def needed_blocks(dbx: pd.Series, dby: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(dbx, dby):
+            dw = min(bs, dst.width - x * bs)
+            dh = min(bs, dst.height - y * bs)
+            wx0, wy0, ww, wh = WK.src_window_for_dst_block(
+                x * bs, y * bs, dw, dh, dst_gt, dst_crs, src_gt, src_crs
+            )
+            wx0c, wy0c = max(wx0, 0), max(wy0, 0)
+            wx1 = min(wx0 + ww, src_w)
+            wy1 = min(wy0 + wh, src_h)
+            if wx1 <= wx0c or wy1 <= wy0c:
+                out.append([])
+                continue
+            out.append(
+                [
+                    {"sbx": sbx, "sby": sby}
+                    for sby in range(wy0c // sbs, min((wy1 - 1) // sbs, nby_src - 1) + 1)
+                    for sbx in range(wx0c // sbs, min((wx1 - 1) // sbs, nbx_src - 1) + 1)
+                ]
+            )
+        return pd.Series(out)
+
+    need = (
+        skel.withColumn("nb", needed_blocks(F.col("dbx"), F.col("dby")))
+        .select("dbx", "dby", F.explode("nb").alias("nb"))
+        .select("dbx", "dby", F.col("nb.sbx").alias("bx"), F.col("nb.sby").alias("by"))
+    )
+    joined = need.join(src_blocks, ["bx", "by"], "inner")
+
+    def warp_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        dbx = int(pdf["dbx"].iloc[0])
+        dby = int(pdf["dby"].iloc[0])
+        dw = min(bs, dst.width - dbx * bs)
+        dh = min(bs, dst.height - dby * bs)
+        # mosaic the gathered src blocks into one window array
+        x0 = int(pdf["bx"].min()) * sbs
+        y0 = int(pdf["by"].min()) * sbs
+        # clamp to the raster extent: past-the-edge mosaic cells would read
+        # as in-bounds nodata and corrupt bilinear edge renormalization
+        x1 = min(int((pdf["bx"].max() + 1) * sbs), src_w)
+        y1 = min(int((pdf["by"].max() + 1) * sbs), src_h)
+        mosaic = np.full((y1 - y0, x1 - x0), nodata, dtype=np.float64)
+        for _, r in pdf.iterrows():
+            ox, oy = r["bx"] * sbs - x0, r["by"] * sbs - y0
+            mosaic[oy : oy + r["h"], ox : ox + r["w"]] = np.array(
+                r["block"], dtype=np.float64
+            ).reshape(r["h"], r["w"])
+        dst_block_gt = (
+            dst_gt[0] + dbx * bs * dst_gt[1],
+            dst_gt[1],
+            dst_gt[2],
+            dst_gt[3] + dby * bs * dst_gt[5],
+            dst_gt[4],
+            dst_gt[5],
+        )
+        out = WK.warp_block(
+            mosaic, src_gt, src_crs, (dh, dw), dst_block_gt, dst_crs,
+            resampling, nodata, src_x0=x0, src_y0=y0,
+        )
+        return pd.DataFrame(
+            {
+                "bx": [dbx], "by": [dby], "w": [dw], "h": [dh],
+                "block": [out.ravel().tolist()],
+            }
+        )
+
+    return joined.groupBy("dbx", "dby").applyInPandas(
+        warp_group, "bx int, by int, w int, h int, block array<double>"
+    )
+
+
+def raster_stats(blocks: DataFrame) -> DataFrame:
+    """min/max/mean/stddev over all pixels (ComputeStatistics semantics,
+    /root/reference/gcore/gdalrasterband.cpp:6478 exact mode) — one
+    explode-free aggregation via higher-order functions + final combine."""
+    per_block = blocks.select(
+        F.expr("aggregate(block, CAST(0 AS DOUBLE), (a, x) -> a + x)").alias("s"),
+        F.expr("aggregate(block, CAST(0 AS DOUBLE), (a, x) -> a + x * x)").alias("s2"),
+        F.expr("array_min(block)").alias("mn"),
+        F.expr("array_max(block)").alias("mx"),
+        F.expr("size(block)").alias("n"),
+    )
+    return per_block.agg(
+        F.min("mn").alias("min"),
+        F.max("mx").alias("max"),
+        (F.sum("s") / F.sum("n")).alias("mean"),
+        F.sqrt(F.sum("s2") / F.sum("n") - F.pow(F.sum("s") / F.sum("n"), 2)).alias(
+            "stddev"
+        ),
+        F.sum("n").alias("n_pixels"),
+    )
+
+
+def raster_checksum(blocks: DataFrame, meta: RasterMeta) -> int:
+    """GDALChecksumImage parity (/root/reference/alg/gdalchecksum.cpp:48).
+
+    The checksum is defined over row-major pixel order of the full raster,
+    so blocks are re-assembled; suitable for golden checks on test-sized
+    rasters (the reference's own checksum goldens are 20x20..1024x1024)."""
+    return int(_checksum(raster_to_array(blocks, meta)))

@@ -28,6 +28,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..functions.geo import TILE_SIZE
 from ..kernels import wkb as W
 
 
@@ -101,6 +102,23 @@ def _zone_specs():
     return Z
 
 
+def zone_part_preds() -> list[tuple[int, str]]:
+    """(zone_id, per-PART predicate) — one entry per polygon part (a
+    multipolygon contributes one entry per member). Each part is
+    4-connected when rasterized, so parts == polygonize components; this
+    is the analytic ground truth for the polygonize oracle."""
+    parts = []
+    for zid, _, _, pred in _zone_specs():
+        if zid == 105:  # multipolygon: split into its two member rects
+            ra = (77.1001, 28.5001, 77.3001, 28.7101)
+            rb = (76.9001, 28.3001, 77.0501, 28.4501)
+            parts.append((zid, _rect_pred(*ra)))
+            parts.append((zid, _rect_pred(*rb)))
+        else:
+            parts.append((zid, pred))
+    return parts
+
+
 def zones_df(spark: SparkSession) -> DataFrame:
     """Build the zones DataFrame: zone_id, name, area, geometry(WKB)."""
     rows = [
@@ -116,6 +134,81 @@ def zones_df(spark: SparkSession) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+def _pixel_enum_sql(zoom: int, zid: int, wkb_: bytes, pred: str) -> str:
+    """Pixel-center enumeration subquery: all (gpx, gpy, lat, lon) of the
+    zone's (padded) pixel bbox whose CENTER satisfies `pred` — the
+    llrasterize.cpp:41-43 center rule expressed as SQL. Bounds come from
+    the mercator kernel padded by 2 (only a superset matters)."""
+    import numpy as np
+
+    from .. import oracle as OR
+    from ..functions.geo import ORIGIN_SHIFT
+    from ..kernels.mercator import clip_lat, latlon_to_meters, resolution
+    from ..kernels.wkb import envelope
+
+    res = resolution(zoom)
+    m_total = (1 << zoom) * TILE_SIZE
+    minx, miny, maxx, maxy = envelope(wkb_)
+    mx, my = latlon_to_meters(clip_lat(np.array([miny, maxy])), np.array([minx, maxx]))
+    gx0 = int((mx[0] + ORIGIN_SHIFT) / res) - 2
+    gx1 = int((mx[1] + ORIGIN_SHIFT) / res) + 2
+    gy0 = int(m_total - (my[1] + ORIGIN_SHIFT) / res) - 2
+    gy1 = int(m_total - (my[0] + ORIGIN_SHIFT) / res) + 2
+    lon = f"(((gpx + 0.5) * {res!r} - {ORIGIN_SHIFT!r}) / {ORIGIN_SHIFT!r} * 180.0)"
+    lat_lin = (
+        f"((({m_total} - gpy - 0.5) * {res!r} - {ORIGIN_SHIFT!r})"
+        f" / {ORIGIN_SHIFT!r} * 180.0)"
+    )
+    lat = (
+        f"(180.0 / {OR.PI!r} * (2.0 * ATAN(EXP({lat_lin} * {OR.PI!r} / 180.0))"
+        f" - {OR.PI!r} / 2.0))"
+    )
+    return f"""
+      (SELECT gpx, gpy FROM
+        (SELECT x.range AS gpx, y.range AS gpy, {lat} AS lat, {lon} AS lon
+         FROM range({gx0}, {gx1 + 1}) x, range({gy0}, {gy1 + 1}) y)
+       WHERE {pred})
+    """
+
+
+def zones_rasterize_oracle_sql(zoom: int, zone_ids=None) -> str:
+    """Independent DuckDB oracle for rasterize_zones(zoom). Pixel centers
+    never fall exactly on zone edges for these fixtures, so predicate
+    membership == scanline fill."""
+    parts = []
+    for zid, _, wkb_, pred in _zone_specs():
+        if zone_ids is not None and zid not in zone_ids:
+            continue
+        parts.append(f"""
+          SELECT CAST({zid} AS BIGINT) AS zone_id,
+                 CAST({zoom} AS INTEGER) AS zoom,
+                 gpx // {TILE_SIZE} AS tx, gpy // {TILE_SIZE} AS ty,
+                 CAST(gpx % {TILE_SIZE} AS INTEGER) AS px,
+                 CAST(gpy % {TILE_SIZE} AS INTEGER) AS py
+          FROM {_pixel_enum_sql(zoom, zid, wkb_, pred)}
+        """)
+    return " UNION ALL ".join(parts)
+
+
+def zones_polygonize_oracle_sql(zoom: int, zone_ids) -> str:
+    """Oracle for polygonize(rasterize(zones)): each polygon PART is one
+    4-connected component (analytic ground truth, zone_part_preds); the
+    canonical component id is the part's min global pixel id."""
+    world = (1 << zoom) * TILE_SIZE
+    wkbs = {zid: wkb_ for zid, _, wkb_, _ in _zone_specs()}
+    parts = []
+    for zid, pred in zone_part_preds():
+        if zid not in zone_ids:
+            continue
+        parts.append(f"""
+          SELECT CAST({zid} AS BIGINT) AS value,
+                 MIN(gpy * {world} + gpx) AS component,
+                 COUNT(*) AS n_pixels
+          FROM {_pixel_enum_sql(zoom, zid, wkbs[zid], pred)}
+        """)
+    return " UNION ALL ".join(parts)
 
 
 def zones_oracle_match_sql(page_rel: str = "pages", cols: str = "doc_id") -> str:

@@ -67,7 +67,22 @@ def get_spark(
         # rows/batch (ogrlayerarrow.cpp:1947)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode "cluster": all tasks share the driver JVM. This box
+        # first-touches memory at only ~130MB/s, so heap growth mid-job
+        # shows up as 50-150s stalls at ~57% kernel time. Benchmarks set
+        # SPARK_GRAFT_PRETOUCH=1 to pay that cost once at startup
+        # (-Xms=-Xmx -XX:+AlwaysPreTouch) and get stable run times; tests
+        # keep the default lazy heap (they never need it all).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            (
+                f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '12g')} "
+                "-XX:+AlwaysPreTouch -XX:+UseG1GC"
+                if os.environ.get("SPARK_GRAFT_PRETOUCH")
+                else "-XX:+UseG1GC"
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

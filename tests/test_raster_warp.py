@@ -1,0 +1,108 @@
+"""Raster model: warp (nearest/bilinear, 3857<->4326), stats, checksum.
+
+Golden sources:
+  * byte.tif fixture -> checksum 4672
+    (/root/reference/autotest/gcore/tiff_read.py:45)
+  * distributed warp == single-call reference-exact kernel (validates the
+    block decomposition / window gather / mosaic path, FIXTURES.md F4)
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.kernels import warp as WK
+from gdal_spark.kernels.checksum import checksum
+from gdal_spark.operators import raster as R
+
+GT_UTM = (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+BYTE_TIF = "/root/reference/autotest/gcore/data/byte.tif"
+
+
+def ramp(w=100, h=100):
+    return (
+        np.arange(h, dtype=np.float64)[:, None] * 1000
+        + np.arange(w, dtype=np.float64)[None, :]
+    )
+
+
+def merc_meta_pair():
+    """A 3857 source grid near the UTM fixture location and a 4326 dst
+    grid covering it (suggested-output style: roughly matching res)."""
+    src = R.RasterMeta(100, 100, (-13100000.0, 60.0, 0.0, 4000000.0, 0.0, -60.0),
+                       "EPSG:3857", block=32)
+    # compute dst bounds from src corners
+    lat0, lon0 = None, None
+    lon_tl, lat_tl = WK.transform_coords(-13100000.0, 4000000.0, "EPSG:3857", "EPSG:4326")
+    lon_br, lat_br = WK.transform_coords(
+        -13100000.0 + 100 * 60.0, 4000000.0 - 100 * 60.0, "EPSG:3857", "EPSG:4326"
+    )
+    w = h = 100
+    gt = (lon_tl, (lon_br - lon_tl) / w, 0.0, lat_tl, 0.0, (lat_br - lat_tl) / h)
+    dst = R.RasterMeta(w, h, gt, "EPSG:4326", block=32)
+    return src, dst
+
+
+@pytest.mark.parametrize("resampling", ["near", "bilinear"])
+def test_distributed_warp_matches_kernel(spark, resampling):
+    arr = ramp()
+    src, dst = merc_meta_pair()
+    blocks, meta = R.raster_from_array(spark, arr, src.gt, src.crs, block=32)
+    out_blocks = R.warp(blocks, src, dst, resampling)
+    got = R.raster_to_array(out_blocks, dst)
+    expected = WK.warp_block(arr, src.gt, src.crs, (dst.height, dst.width),
+                             dst.gt, dst.crs, resampling, dst.nodata)
+    if resampling == "near":
+        assert np.array_equal(got, expected), (
+            np.abs(got - expected).max(), (got != expected).sum()
+        )
+    else:
+        # window-relative coords shift the float op order by an ulp; the
+        # reference's own bilinear tolerance is maxdiff <= 1
+        # (autotest/alg/warp.py:42-51) — we hold 1e-9
+        assert np.abs(got - expected).max() < 1e-9
+    assert (got != 0).sum() > 1000  # the warp actually covered the grid
+
+
+def test_warp_roundtrip_nearest(spark):
+    """3857 -> 4326 -> 3857 nearest round trip recovers interior values
+    (maxdiff 0 on >90% of pixels; edges may differ by one src pixel)."""
+    arr = ramp()
+    src, dst = merc_meta_pair()
+    b1, _ = R.raster_from_array(spark, arr, src.gt, src.crs, block=32)
+    fwd = R.warp(b1, src, dst, "near")
+    back = R.warp(fwd, dst, src, "near")
+    got = R.raster_to_array(back, src)
+    same = got == arr
+    assert same.mean() > 0.9
+    # differing pixels differ by at most one pixel step of the ramp
+    d = np.abs(got - arr)[~same]
+    assert d.size == 0 or d.max() <= 1001
+
+
+def test_raster_stats(spark):
+    arr = ramp()
+    blocks, meta = R.raster_from_array(spark, arr, GT_UTM, "EPSG:3857", block=32)
+    row = R.raster_stats(blocks).collect()[0]
+    assert row["min"] == arr.min()
+    assert row["max"] == arr.max()
+    assert abs(row["mean"] - arr.mean()) < 1e-6
+    assert abs(row["stddev"] - arr.std()) < 1e-4
+    assert row["n_pixels"] == arr.size
+
+
+@pytest.mark.skipif(not os.path.exists(BYTE_TIF), reason="reference not present")
+def test_byte_tif_checksum_golden(spark):
+    """The reference's canonical golden: GDALChecksumImage(byte.tif)==4672
+    (autotest/gcore/tiff_read.py:45). byte.tif is a single uncompressed
+    20x20 strip at offset 8."""
+    buf = open(BYTE_TIF, "rb").read()
+    pixels = np.frombuffer(buf[8:408], dtype=np.uint8).reshape(20, 20)
+    assert checksum(pixels) == 4672
+    blocks, meta = R.raster_from_array(
+        spark, pixels.astype(np.float64), GT_UTM, "EPSG:32611", block=16
+    )
+    assert R.raster_checksum(blocks, meta) == 4672
