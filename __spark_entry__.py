@@ -283,6 +283,101 @@ def q_rasterize_zones(spark, sf_dir):
     return rasterize_zones(z, RASTERIZE_ZOOM)
 
 
+# Warp fixture: 64x64 ramp in EPSG:3857 -> 4326 grid, nearest (FIXTURES F4)
+WARP_SRC_GT = (-13100000.0, 60.0, 0.0, 4000000.0, 0.0, -60.0)
+WARP_DST_GT = (-117.70, 0.0006, 0.0, 33.78, 0.0, -0.0005)
+WARP_N = 64
+
+
+def q_warp_near(spark, sf_dir):
+    import numpy as np
+
+    from gdal_spark.operators import raster as R
+
+    n = WARP_N
+    arr = (
+        1000.0 * np.arange(n, dtype=np.float64)[:, None]
+        + np.arange(n, dtype=np.float64)[None, :]
+    )
+    blocks, src = R.raster_from_array(spark, arr, WARP_SRC_GT, "EPSG:3857", block=32)
+    dst = R.RasterMeta(n, n, WARP_DST_GT, "EPSG:4326", block=32)
+    out = R.warp(blocks, src, dst, "near")
+    return out.select(
+        "bx", "by", F.posexplode("block").alias("idx", "val")
+    ).select(
+        (F.col("bx") * 32 + F.col("idx") % 32).alias("gx"),
+        (F.col("by") * 32 + (F.col("idx") / 32).cast("int")).alias("gy"),
+        F.col("val").cast("long").alias("val"),
+    )
+
+
+def _warp_oracle() -> str:
+    from gdal_spark.kernels.geotransform import inv_geotransform
+
+    n = WARP_N
+    inv = inv_geotransform(WARP_SRC_GT)
+    g = WARP_DST_GT
+    lon = f"({g[0]!r} + (x.range + 0.5) * {g[1]!r} + (y.range + 0.5) * {g[2]!r})"
+    lat = f"({g[3]!r} + (x.range + 0.5) * {g[4]!r} + (y.range + 0.5) * {g[5]!r})"
+    mx = f"({lon} * {OR.ORIGIN_SHIFT!r} / 180.0)"
+    my = (
+        f"((LN(TAN((90.0 + {lat}) * {OR.PI!r} / 360.0)) / {OR.PI_OVER_180!r})"
+        f" * {OR.ORIGIN_SHIFT!r} / 180.0)"
+    )
+    sx = f"({inv[0]!r} + {mx} * {inv[1]!r} + {my} * 0.0)"
+    sy = f"({inv[3]!r} + {mx} * 0.0 + {my} * {inv[5]!r})"
+    return f"""
+      SELECT CAST(x.range AS BIGINT) AS gx, CAST(y.range AS BIGINT) AS gy,
+             CASE WHEN {sx} >= 0 AND {sx} + 1e-10 <= {n}
+                   AND {sy} >= 0 AND {sy} + 1e-10 <= {n}
+                  THEN 1000 * LEAST(CAST(FLOOR({sy} + 1e-10) AS BIGINT), {n - 1})
+                       + LEAST(CAST(FLOOR({sx} + 1e-10) AS BIGINT), {n - 1})
+                  ELSE 0 END AS val
+      FROM range(0, {n}) x, range(0, {n}) y
+    """
+
+
+def q_zonal_metrics(spark, sf_dir):
+    """gdalgrid data-metrics family (minimum/maximum/range/count,
+    /root/reference/alg/gdalgrid.cpp:1033) as groupBy-cell aggregation."""
+    p = TI.assign_tiles(
+        _pages(spark, sf_dir).filter(F.col("lat").isNotNull()), 7
+    )
+    return p.groupBy("zoom", "tx", "ty").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lat_e7").alias("min_lat_e7"),
+        F.max("lat_e7").alias("max_lat_e7"),
+        (F.max("lat_e7") - F.min("lat_e7")).alias("range_lat_e7"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+def q_events_json(spark, sf_dir):
+    """JSON prop extraction (OGR JSON field subtype superset)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_id", k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+def q_geom_props(spark, sf_dir):
+    """OGR special fields (OGR_GEOMETRY/OGR_GEOM_WKT/OGR_GEOM_AREA,
+    ogr/ogr_p.h:167-174) over the zones table. Rows-only check (WKB
+    source has no DuckDB-side table); kernel parity is pytest-pinned."""
+    from gdal_spark.operators.raster import wkt_of
+
+    z = zones_df(spark)
+    return z.select(
+        "zone_id",
+        "name",
+        wkt_of("geometry").alias("wkt"),
+        F.col("area").alias("geom_area"),
+    )
+
+
 POLYGONIZE_ZONES = (102, 104, 105, 108, 109)
 POLYGONIZE_ZOOM = 8
 
@@ -357,6 +452,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_cast_arith": q_ogr_cast_arith,
         "rasterize_zones": q_rasterize_zones,
         "polygonize": q_polygonize,
+        "warp_near": q_warp_near,
+        "zonal_metrics": q_zonal_metrics,
+        "events_json": q_events_json,
+        "geom_props": q_geom_props,
         "events_window": q_events_window,
         "events_lag": q_events_lag,
     }
@@ -487,6 +586,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rasterize_zones": zones_rasterize_oracle_sql(RASTERIZE_ZOOM, RASTERIZE_ZONES),
         "polygonize": zones_polygonize_oracle_sql(POLYGONIZE_ZOOM, POLYGONIZE_ZONES),
+        "warp_near": _warp_oracle(),
+        "zonal_metrics": _with_pages(
+            f"""
+            SELECT CAST(7 AS INTEGER) AS zoom,
+                   {OR.sql_tile_x('lon', 7)} AS tx,
+                   {OR.sql_tile_y_google('lat', 7)} AS ty,
+                   COUNT(*) AS n,
+                   MIN(lat_e7) AS min_lat_e7, MAX(lat_e7) AS max_lat_e7,
+                   MAX(lat_e7) - MIN(lat_e7) AS range_lat_e7,
+                   COUNT(DISTINCT lang) AS n_langs
+            FROM pages WHERE lat IS NOT NULL GROUP BY 1, 2, 3
+            """
+        ),
+        "events_json": """
+            SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                     AS sum_k
+            FROM events GROUP BY 1
+        """,
+        # geom_props: intentionally no oracle (no DuckDB-side WKB source)
         "events_window": f"""
             SELECT date_trunc('day', ts) AS day, event_type,
                    COUNT(*) AS n,

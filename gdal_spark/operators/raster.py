@@ -177,9 +177,44 @@ def warp(
             }
         )
 
-    return joined.groupBy("dbx", "dby").applyInPandas(
+    warped = joined.groupBy("dbx", "dby").applyInPandas(
         warp_group, "bx int, by int, w int, h int, block array<double>"
     )
+    # dst blocks with no src coverage still exist in the output raster,
+    # filled with nodata (gdalwarp initializes the full dst extent)
+    empty = (
+        skel.join(
+            warped.select(F.col("bx").alias("dbx"), F.col("by").alias("dby")),
+            ["dbx", "dby"],
+            "left_anti",
+        )
+        .select(
+            F.col("dbx").alias("bx"),
+            F.col("dby").alias("by"),
+            F.least(F.lit(bs), F.lit(dst.width) - F.col("dbx") * bs)
+            .cast("int")
+            .alias("w"),
+            F.least(F.lit(bs), F.lit(dst.height) - F.col("dby") * bs)
+            .cast("int")
+            .alias("h"),
+        )
+        .withColumn(
+            "block", F.array_repeat(F.lit(float(nodata)), F.col("w") * F.col("h"))
+        )
+    )
+    return warped.unionByName(empty)
+
+
+from pyspark.sql.types import StringType as _StringType
+
+
+@F.pandas_udf(_StringType())
+def wkt_of(geom: pd.Series) -> pd.Series:
+    """WKB -> WKT (OGR_GEOM_WKT special field, ogr/ogr_p.h:171) via the
+    numpy codec (kernels/wkb.py, ogrgeometry.cpp:1983 exportToWkt)."""
+    from ..kernels import wkb as _W
+
+    return pd.Series([None if b is None else _W.wkt(bytes(b)) for b in geom])
 
 
 def raster_stats(blocks: DataFrame) -> DataFrame:
