@@ -337,6 +337,26 @@ def _warp_oracle() -> str:
     """
 
 
+def q_hex_index(spark, sf_dir):
+    """Hex cell indexing res 7..10 (JVM column math)."""
+    from gdal_spark.functions.cells_sql import with_hex_cells
+
+    p = _pages(spark, sf_dir).filter(F.col("lat").isNotNull())
+    return with_hex_cells(p).select("url", "hex_r7", "hex_r8", "hex_r9", "hex_r10")
+
+
+def q_s2_index(spark, sf_dir):
+    """S2 cell indexing levels 12..16 (Arrow-vectorized kernel;
+    rows-only check — S2 bit logic is not SQL-expressible, kernel is
+    pinned by tests/test_kernels_misc.py golden vectors)."""
+    from gdal_spark.operators.index import with_cells
+
+    p = _pages(spark, sf_dir).filter(F.col("lat").isNotNull())
+    return with_cells(p).select(
+        "url", "s2_l12", "s2_l13", "s2_l14", "s2_l15", "s2_l16"
+    )
+
+
 def q_zonal_metrics(spark, sf_dir):
     """gdalgrid data-metrics family (minimum/maximum/range/count,
     /root/reference/alg/gdalgrid.cpp:1033) as groupBy-cell aggregation."""
@@ -453,6 +473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_zones": q_rasterize_zones,
         "polygonize": q_polygonize,
         "warp_near": q_warp_near,
+        "hex_index": q_hex_index,
+        "s2_index": q_s2_index,
         "zonal_metrics": q_zonal_metrics,
         "events_json": q_events_json,
         "geom_props": q_geom_props,
@@ -587,6 +609,19 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_zones": zones_rasterize_oracle_sql(RASTERIZE_ZOOM, RASTERIZE_ZONES),
         "polygonize": zones_polygonize_oracle_sql(POLYGONIZE_ZOOM, POLYGONIZE_ZONES),
         "warp_near": _warp_oracle(),
+        "hex_index": _with_pages(
+            f"""
+            SELECT url,
+                   {OR.sql_hex_cell_from_m('mx', 'my', 7)} AS hex_r7,
+                   {OR.sql_hex_cell_from_m('mx', 'my', 8)} AS hex_r8,
+                   {OR.sql_hex_cell_from_m('mx', 'my', 9)} AS hex_r9,
+                   {OR.sql_hex_cell_from_m('mx', 'my', 10)} AS hex_r10
+            FROM (SELECT url, {OR.sql_mercator_x('lon')} AS mx,
+                         {OR.sql_mercator_y('lat')} AS my
+                  FROM pages WHERE lat IS NOT NULL)
+            """
+        ),
+        # s2_index: intentionally no oracle (bit-twiddling not SQL-economical)
         "zonal_metrics": _with_pages(
             f"""
             SELECT CAST(7 AS INTEGER) AS zoom,

@@ -104,8 +104,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     n_bench = int(os.environ.get("BENCH_PAGES", "1000000"))
+    # stable timings on this VM need a fixed pre-touched heap (see
+    # session.py) and warm python workers/JIT
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
     spark = get_spark("gdal-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    run_pipeline(spark, 100000)  # warm-up: codegen, workers, page cache
 
     timings: dict[str, float] = {}
     total = 0.0

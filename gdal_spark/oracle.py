@@ -81,6 +81,30 @@ def sql_pixel_rows(zoom: int, pages: str = "p") -> str:
     """
 
 
+def sql_hex_cell_from_m(mx: str, my: str, res: int) -> str:
+    """Hex cell id from mercator-meter columns — mirrors
+    functions/cells_sql.hex_cell op-for-op (same SIZES literal, same
+    cube rounding with floor(x+0.5) ties, same int64 packing)."""
+    from .kernels.hexcell import SIZES, SQRT3
+
+    s = float(SIZES[res])
+    qf = f"((({SQRT3 / 3.0!r} * {mx}) - ({my} / 3.0)) / {s!r})"
+    rf = f"(({2.0 / 3.0!r} * {my}) / {s!r})"
+    sf = f"(-{qf} - {rf})"
+    q = f"CAST(FLOOR({qf} + 0.5) AS BIGINT)"
+    r = f"CAST(FLOOR({rf} + 0.5) AS BIGINT)"
+    s3 = f"CAST(FLOOR({sf} + 0.5) AS BIGINT)"
+    dq = f"ABS(CAST({q} AS DOUBLE) - {qf})"
+    dr = f"ABS(CAST({r} AS DOUBLE) - {rf})"
+    ds = f"ABS(CAST({s3} AS DOUBLE) - {sf})"
+    fix_q = f"(({dq} > {dr}) AND ({dq} > {ds}))"
+    fix_r = f"((NOT {fix_q}) AND ({dr} > {ds}))"
+    q2 = f"(CASE WHEN {fix_q} THEN -{r} - {s3} ELSE {q} END)"
+    r2 = f"(CASE WHEN {fix_r} THEN -{q2} - {s3} ELSE {r} END)"
+    off = 1 << 27
+    return f"(CAST({res * (1 << 56)} AS BIGINT) + ({q2} + {off}) * {1 << 28} + ({r2} + {off}))"
+
+
 def sql_haversine(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     """Mirrors functions/geo.haversine_m op order exactly."""
     a = (
