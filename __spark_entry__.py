@@ -357,6 +357,29 @@ def q_s2_index(spark, sf_dir):
     )
 
 
+def q_tile_quadkey(spark, sf_dir):
+    """Quadkey addressing (gdal2tiles QuadTree) as pure column math."""
+    p = TI.assign_tiles(
+        _pages(spark, sf_dir).filter(F.col("lat").isNotNull()), 12
+    )
+    return p.select("url", F.expr(OR.sql_quadkey("tx", "ty", 12)).alias("quadkey"))
+
+
+def q_ogr_hstore(spark, sf_dir):
+    """HSTORE_GET_VALUE emulation (ogr/ogr_swq.h:65 '->' operator over
+    'k=>v' strings): build an hstore string, extract by key."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hstore = F.concat(
+        F.lit("status=>"), F.col("o_orderstatus"),
+        F.lit(",prio=>"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract(hstore, "prio=>([^,]*)", 1).alias("prio"),
+        F.regexp_extract(hstore, "status=>([^,]*)", 1).alias("status"),
+    )
+
+
 def q_zonal_metrics(spark, sf_dir):
     """gdalgrid data-metrics family (minimum/maximum/range/count,
     /root/reference/alg/gdalgrid.cpp:1033) as groupBy-cell aggregation."""
@@ -475,6 +498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_near": q_warp_near,
         "hex_index": q_hex_index,
         "s2_index": q_s2_index,
+        "tile_quadkey": q_tile_quadkey,
+        "ogr_hstore": q_ogr_hstore,
         "zonal_metrics": q_zonal_metrics,
         "events_json": q_events_json,
         "geom_props": q_geom_props,
@@ -622,6 +647,22 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         # s2_index: intentionally no oracle (bit-twiddling not SQL-economical)
+        "tile_quadkey": _with_pages(
+            f"""
+            SELECT url,
+                   {OR.sql_quadkey(OR.sql_tile_x('lon', 12), OR.sql_tile_y_google('lat', 12), 12)}
+                     AS quadkey
+            FROM pages WHERE lat IS NOT NULL
+            """
+        ),
+        "ogr_hstore": """
+            SELECT o_orderkey,
+                   regexp_extract(concat('status=>', o_orderstatus, ',prio=>', o_orderpriority),
+                                  'prio=>([^,]*)', 1) AS prio,
+                   regexp_extract(concat('status=>', o_orderstatus, ',prio=>', o_orderpriority),
+                                  'status=>([^,]*)', 1) AS status
+            FROM orders
+        """,
         "zonal_metrics": _with_pages(
             f"""
             SELECT CAST(7 AS INTEGER) AS zoom,

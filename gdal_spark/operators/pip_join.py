@@ -235,13 +235,47 @@ def zone_cells(zones: DataFrame, res: int | None = None, max_cells: int = 4096) 
     return zones.withColumn("cell", F.explode(_cover(F.col("geometry"))))
 
 
+def hot_cell_salts(
+    pages: DataFrame,
+    res_list=None,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    rows_per_task: int = 2_000_000,
+    sample: float | None = None,
+) -> dict[int, int]:
+    """Histogram-driven salt factors: cell -> k for cells whose page count
+    exceeds rows_per_task (SURVEY §7: "hot-cell salting with s from cell
+    histogram"). One aggregation over (optionally sampled) pages; the
+    result is a small dict (only hot cells appear) suitable to embed in
+    the join as a broadcast map."""
+    res_list = list(res_list or LADDER)
+    p = pages.filter(F.col(lat_col).isNotNull())
+    if sample:
+        p = p.sample(fraction=sample, seed=42)
+    hist = (
+        p.select(
+            F.explode(
+                F.array(*[hex_cell(F.col(lat_col), F.col(lon_col), r) for r in res_list])
+            ).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scale = 1.0 / sample if sample else 1.0
+    thresh = rows_per_task / scale
+    rows = hist.filter(F.col("n") > thresh).collect()
+    return {
+        int(r["cell"]): int(-(-r["n"] * scale // rows_per_task)) for r in rows
+    }
+
+
 def pip_join_bucketed(
     pages: DataFrame,
     zones: DataFrame,
     res: int | None = None,
     lat_col: str = "lat",
     lon_col: str = "lon",
-    salt: int = 0,
+    salt: int | dict = 0,
     refine: str = "sql",
 ) -> DataFrame:
     """Cell-bucketed equi-join strategy (scale path).
@@ -250,9 +284,11 @@ def pip_join_bucketed(
     one cell per ladder res (cell ids embed res, so each (page, zone) pair
     can meet on at most one key — no dedup needed). res=k: single-res mode.
 
-    salt > 0 additionally splits each cell's page population into `salt`
-    sub-keys and replicates zone cells ×salt — explicit hot-cell skew
-    handling per the north rule (on top of AQE skew-join splitting).
+    salt: explicit hot-cell skew handling per the north rule (on top of
+    AQE skew-join splitting). An int k splits EVERY cell's page population
+    into k sub-keys (zone cells replicate xk). A dict {cell: k} (from
+    hot_cell_salts) salts only the hot cells, each by its own factor —
+    cold cells pay nothing.
     """
     zc = zone_cells(zones, res)
     if refine == "sql":
@@ -267,7 +303,21 @@ def pip_join_bucketed(
         )
     else:
         p = p.withColumn("cell", hex_cell(F.col(lat_col), F.col(lon_col), res))
-    if salt > 0:
+    if isinstance(salt, dict) and salt:
+        k_map = F.create_map(
+            *[F.lit(v) for kv in salt.items() for v in kv]
+        )
+        k_of = F.coalesce(k_map[F.col("cell")], F.lit(1))
+        p = p.withColumn("_salt", F.pmod(F.xxhash64("url"), k_of))
+        max_k = max(salt.values())
+        zc = (
+            zc.withColumn("_k", F.coalesce(k_map[F.col("cell")], F.lit(1)))
+            .withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(max_k)])))
+            .filter(F.col("_salt") < F.col("_k"))
+            .drop("_k")
+        )
+        keys = ["cell", "_salt"]
+    elif isinstance(salt, int) and salt > 0:
         p = p.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(salt)))
         zc = zc.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
         keys = ["cell", "_salt"]
@@ -280,7 +330,7 @@ def pip_join_bucketed(
         refined = joined.filter(
             _raycast_contains(F.col(lat_col), F.col(lon_col), F.col("geometry"))
         )
-    return refined.drop("cell", "_salt") if salt > 0 else refined.drop("cell")
+    return refined.drop("cell", "_salt") if "_salt" in keys else refined.drop("cell")
 
 
 def pip_join(pages: DataFrame, zones: DataFrame, strategy: str = "auto", **kw) -> DataFrame:

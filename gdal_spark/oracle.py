@@ -105,6 +105,21 @@ def sql_hex_cell_from_m(mx: str, my: str, res: int) -> str:
     return f"(CAST({res * (1 << 56)} AS BIGINT) + ({q2} + {off}) * {1 << 28} + ({r2} + {off}))"
 
 
+def sql_quadkey(tx: str, ty_google: str, zoom: int) -> str:
+    """Microsoft QuadTree key from GOOGLE-scheme tile coords — mirrors
+    GlobalMercator.QuadTree (gdal2tiles.py:517-531; the reference flips
+    TMS->google first, ty_google is already flipped). Identical SQL text
+    runs on Spark and DuckDB (&, CASE, concat)."""
+    digits = []
+    for i in range(zoom, 0, -1):
+        m = 1 << (i - 1)
+        digits.append(
+            f"CAST((CASE WHEN (({tx}) & {m}) != 0 THEN 1 ELSE 0 END) + "
+            f"(CASE WHEN (({ty_google}) & {m}) != 0 THEN 2 ELSE 0 END) AS STRING)"
+        )
+    return "concat(" + ", ".join(digits) + ")"
+
+
 def sql_haversine(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     """Mirrors functions/geo.haversine_m op order exactly."""
     a = (
