@@ -380,6 +380,47 @@ def q_ogr_hstore(spark, sf_dir):
     )
 
 
+def q_vector_translate(spark, sf_dir):
+    """ogr2ogr-style fused translate: -where + -spat + -t_srs + -select
+    over the pages table (LayerTranslator semantics, ogr2ogr_lib.cpp)."""
+    from gdal_spark.operators.translate import translate
+
+    p = _pages(spark, sf_dir)
+    out = translate(
+        p,
+        where="lang IN ('en', 'de') AND lat IS NOT NULL",
+        spat=(-80.0, 30.0, 10.0, 60.0),
+        t_srs="EPSG:3857",
+        fields=["url", "lang", "mx", "my"],
+    )
+    # cross-engine FID + mm-rounded coords (raw mercator doubles carry a
+    # last-ulp transcendental risk across engines)
+    return out.select(
+        F.md5("url").alias("fid"), "url", "lang",
+        F.round("mx", 3).alias("mx_mm"), F.round("my", 3).alias("my_mm"),
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """Relational INTERSECT / EXCEPT (Spark superset of OGR SQL)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = o.filter(F.col("o_totalprice") > 100000).select("o_custkey").distinct()
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    return (
+        big.intersect(urgent).withColumn("setop", F.lit("both"))
+        .unionByName(big.exceptAll(urgent).withColumn("setop", F.lit("big_only")))
+    )
+
+
+def q_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (free Spark superset; SURVEY §2.4)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(OG.cents("o_totalprice")).alias("sum_cents"))
+    )
+
+
 def q_zonal_metrics(spark, sf_dir):
     """gdalgrid data-metrics family (minimum/maximum/range/count,
     /root/reference/alg/gdalgrid.cpp:1033) as groupBy-cell aggregation."""
@@ -410,7 +451,7 @@ def q_geom_props(spark, sf_dir):
     """OGR special fields (OGR_GEOMETRY/OGR_GEOM_WKT/OGR_GEOM_AREA,
     ogr/ogr_p.h:167-174) over the zones table. Rows-only check (WKB
     source has no DuckDB-side table); kernel parity is pytest-pinned."""
-    from gdal_spark.operators.raster import wkt_of
+    from gdal_spark.operators.raster import centroid_of, wkt_of
 
     z = zones_df(spark)
     return z.select(
@@ -418,7 +459,8 @@ def q_geom_props(spark, sf_dir):
         "name",
         wkt_of("geometry").alias("wkt"),
         F.col("area").alias("geom_area"),
-    )
+        centroid_of("geometry").alias("c"),
+    ).select("zone_id", "name", "wkt", "geom_area", "c.cx", "c.cy")
 
 
 POLYGONIZE_ZONES = (102, 104, 105, 108, 109)
@@ -500,6 +542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_index": q_s2_index,
         "tile_quadkey": q_tile_quadkey,
         "ogr_hstore": q_ogr_hstore,
+        "vector_translate": q_vector_translate,
+        "set_ops": q_set_ops,
+        "rollup": q_rollup,
         "zonal_metrics": q_zonal_metrics,
         "events_json": q_events_json,
         "geom_props": q_geom_props,
@@ -655,6 +700,32 @@ def oracle_sql() -> dict[str, str]:
             FROM pages WHERE lat IS NOT NULL
             """
         ),
+        "vector_translate": _with_pages(
+            f"""
+            SELECT md5(url) AS fid, url, lang,
+                   ROUND({OR.sql_mercator_x('lon')}, 3) AS mx_mm,
+                   ROUND({OR.sql_mercator_y('lat')}, 3) AS my_mm
+            FROM pages
+            WHERE lang IN ('en', 'de') AND lat IS NOT NULL
+              AND lon >= -80.0 AND lon <= 10.0 AND lat >= 30.0 AND lat <= 60.0
+            """
+        ),
+        "set_ops": """
+            SELECT o_custkey, 'both' AS setop FROM (
+              SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000
+              INTERSECT
+              SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            UNION ALL
+            SELECT o_custkey, 'big_only' AS setop FROM (
+              SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000
+              EXCEPT
+              SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        """,
+        "rollup": f"""
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   CAST(SUM({OG.cents_sql('o_totalprice')}) AS BIGINT) AS sum_cents
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
         "ogr_hstore": """
             SELECT o_orderkey,
                    regexp_extract(concat('status=>', o_orderstatus, ',prio=>', o_orderpriority),

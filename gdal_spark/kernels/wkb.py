@@ -154,6 +154,37 @@ def shoelace_area(buf: bytes) -> float:
     return total
 
 
+def centroid(buf: bytes):
+    """Area-weighted centroid of a (multi)polygon WKB
+    (OGRGeometry::Centroid, ogrgeometry.cpp:6108 — GEOS CG semantics:
+    outer rings add, holes subtract, members accumulate by signed area).
+    """
+    import numpy as np
+
+    ax = ay = aa = 0.0
+    for rings in decode_polygons(buf):
+        for ri, ring in enumerate(rings):
+            x = np.asarray(ring[:, 0], dtype=np.float64)
+            y = np.asarray(ring[:, 1], dtype=np.float64)
+            if x[0] != x[-1] or y[0] != y[-1]:
+                x = np.append(x, x[0])
+                y = np.append(y, y[0])
+            cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+            a = cross.sum() / 2.0
+            if a == 0.0:
+                continue
+            cx = ((x[:-1] + x[1:]) * cross).sum() / (6.0 * a)
+            cy = ((y[:-1] + y[1:]) * cross).sum() / (6.0 * a)
+            sign = 1.0 if ri == 0 else -1.0
+            w = sign * abs(a)
+            ax += cx * w
+            ay += cy * w
+            aa += w
+    if aa == 0.0:
+        raise ValueError("zero-area geometry")
+    return ax / aa, ay / aa
+
+
 def wkt(buf: bytes) -> str:
     """WKB -> WKT for the supported subset (ST_AsText parity,
     ogrsqlitesqlfunctions.cpp:723)."""

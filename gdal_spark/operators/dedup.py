@@ -200,13 +200,18 @@ def _tok_val(tok: str, duck: bool) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
-def _simhash_expr(text_col: str, duck: bool) -> str:
-    t = f"str_split({text_col}, ' ')" if duck else f"split({text_col}, ' ')"
+def _simhash_expr(text_col: str, duck: bool, vals_col: str | None = None) -> str:
+    """16-bit simhash. When vals_col is given it must hold the per-token
+    md5-derived ints (computed ONCE — the md5 is 16x hotter otherwise)."""
     tf = "list_transform" if duck else "transform"
-    v = _tok_val("tok", duck)
+    if vals_col is None:
+        t = f"str_split({text_col}, ' ')" if duck else f"split({text_col}, ' ')"
+        vals = f"{tf}({t}, tok -> {_tok_val('tok', duck)})"
+    else:
+        vals = vals_col
     bits = []
     for i in range(16):
-        vote = f"{tf}({t}, tok -> 2 * (CAST(FLOOR({v} / {2 ** i}) AS BIGINT) % 2) - 1)"
+        vote = f"{tf}({vals}, v -> 2 * (CAST(FLOOR(v / {2 ** i}) AS BIGINT) % 2) - 1)"
         total = (
             f"list_sum({vote})" if duck else f"aggregate({vote}, 0L, (acc, x) -> acc + x)"
         )
@@ -216,15 +221,23 @@ def _simhash_expr(text_col: str, duck: bool) -> str:
 
 def simhash(corpus: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id, 16-bit simhash (per-token md5 bit votes)."""
-    return corpus.select(
-        "doc_id", F.expr(_simhash_expr(text_col, False)).cast("int").alias("simhash")
+    from ..functions.barrier import once
+
+    vals = f"transform(split({text_col}, ' '), tok -> {_tok_val('tok', False)})"
+    # `once` stops CollapseProject from inlining the md5 pass into all 16
+    # bit expressions (16x md5 otherwise)
+    return corpus.withColumn("_tv", once(F.expr(vals))).select(
+        "doc_id",
+        F.expr(_simhash_expr(text_col, False, vals_col="_tv")).cast("int").alias("simhash"),
     )
 
 
 def simhash_sql(rel: str = "corpus", text_col: str = "text") -> str:
+    vals = f"list_transform(str_split({text_col}, ' '), tok -> {_tok_val('tok', True)})"
     return f"""
-      SELECT doc_id, CAST({_simhash_expr(text_col, True)} AS INTEGER) AS simhash
-      FROM {rel}
+      SELECT doc_id,
+             CAST({_simhash_expr(text_col, True, vals_col='_tv')} AS INTEGER) AS simhash
+      FROM (SELECT doc_id, {vals} AS _tv FROM {rel})
     """
 
 

@@ -217,6 +217,35 @@ def wkt_of(geom: pd.Series) -> pd.Series:
     return pd.Series([None if b is None else _W.wkt(bytes(b)) for b in geom])
 
 
+from pyspark.sql.types import (  # noqa: E402
+    DoubleType as _DoubleType,
+    StructField as _StructField,
+    StructType as _StructType,
+)
+
+_CENTROID_TYPE = _StructType(
+    [_StructField("cx", _DoubleType()), _StructField("cy", _DoubleType())]
+)
+
+
+@F.pandas_udf(_CENTROID_TYPE)
+def centroid_of(geom: pd.Series) -> pd.DataFrame:
+    """WKB -> area-weighted centroid (OGRGeometry::Centroid,
+    ogrgeometry.cpp:6108) via kernels/wkb.centroid."""
+    from ..kernels import wkb as _W
+
+    cx, cy = [], []
+    for b in geom:
+        if b is None:
+            cx.append(None)
+            cy.append(None)
+        else:
+            x, y = _W.centroid(bytes(b))
+            cx.append(x)
+            cy.append(y)
+    return pd.DataFrame({"cx": cx, "cy": cy})
+
+
 def raster_stats(blocks: DataFrame) -> DataFrame:
     """min/max/mean/stddev over all pixels (ComputeStatistics semantics,
     /root/reference/gcore/gdalrasterband.cpp:6478 exact mode) — one
