@@ -100,6 +100,37 @@ def run_minhash_bench(spark, n_docs: int) -> dict:
     }
 
 
+def run_warp_bench(spark, size: int = 4096) -> dict:
+    """Reference warp-bench shape (autotest/benchmark/test_gdalwarp.py:
+    4096x4096 byte raster, reprojection, near & cubic) — here 3857->4326,
+    distributed over 256px blocks."""
+    from gdal_spark.operators import raster as R
+    from gdal_spark.kernels.warp import transform_coords
+
+    gt = (-13100000.0, 60.0, 0.0, 4000000.0, 0.0, -60.0)
+    src = R.RasterMeta(size, size, gt, "EPSG:3857", block=256)
+    lon0, lat0 = transform_coords(gt[0], gt[3], "EPSG:3857", "EPSG:4326")
+    lon1, lat1 = transform_coords(
+        gt[0] + size * 60.0, gt[3] - size * 60.0, "EPSG:3857", "EPSG:4326"
+    )
+    dst = R.RasterMeta(
+        size, size,
+        (lon0, (lon1 - lon0) / size, 0.0, lat0, 0.0, (lat1 - lat0) / size),
+        "EPSG:4326", block=256,
+    )
+    blocks = R.synthetic_raster(spark, src)
+    out = {}
+    for resampling in ("near", "cubic"):
+        t0 = time.time()
+        n = R.warp(blocks, src, dst, resampling).count()
+        out[f"warp_{size}_{resampling}_sec"] = round(time.time() - t0, 3)
+        out[f"warp_{size}_{resampling}_mpix_per_sec"] = round(
+            size * size / (time.time() - t0) / 1e6, 1
+        )
+        assert n == dst.nbx * dst.nby
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -123,6 +154,7 @@ def main() -> None:
         total += dt
 
     pipe = run_pipeline(spark, n_bench)
+    warp = run_warp_bench(spark, int(os.environ.get("WARP_BENCH_SIZE", "4096")))
 
     out = {
         "metric": "headline-query wall time",
@@ -131,6 +163,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pipeline": pipe,
+        "warp": warp,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }
     print(json.dumps(out))

@@ -111,6 +111,43 @@ def warp_block(
         ok = div > 0
         out[ok] = acc[ok] / div[ok]
         return out
+    if resampling == "cubic":
+        # GWKCubicResample4Sample (gdalwarpkernel.cpp:2820): Catmull-Rom
+        # separable convolution over the 4x4 neighborhood; pixels whose
+        # 4x4 support leaves the raster fall back to the bilinear sample.
+        bil = warp_block(
+            src, src_gt, src_crs, dst_shape, dst_gt, dst_crs,
+            "bilinear", dst_nodata, src_x0, src_y0,
+        )
+        ix = np.trunc(rx - 0.5).astype(np.int64)  # C cast truncation
+        iy = np.trunc(ry - 0.5).astype(np.int64)
+        dx = rx - 0.5 - ix
+        dy = ry - 0.5 - iy
+        interior = (ix - 1 >= 0) & (ix + 2 < sw) & (iy - 1 >= 0) & (iy + 2 < sh)
+
+        def weights(t):
+            half = 0.5 * t
+            three = 3.0 * t
+            half2 = half * t
+            return (
+                half * (-1 + t * (2 - t)),
+                1 + half2 * (-5 + three),
+                half * (1 + t * (4 - three)),
+                half2 * (-1 + t),
+            )
+
+        wx = weights(dx)
+        wy = weights(dy)
+        ii = np.clip(ix, 1, max(sw - 3, 1))
+        jj2 = np.clip(iy, 1, max(sh - 3, 1))
+        acc = np.zeros(dst_shape, dtype=np.float64)
+        for r, wyr in enumerate(wy):
+            row = np.zeros(dst_shape, dtype=np.float64)
+            for c, wxc in enumerate(wx):
+                row += wxc * src[jj2 + (r - 1), ii + (c - 1)]
+            acc += wyr * row
+        out = np.where(interior, acc, bil)
+        return out
     raise ValueError(f"unsupported resampling {resampling}")
 
 

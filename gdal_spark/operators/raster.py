@@ -73,6 +73,38 @@ def raster_from_array(spark: SparkSession, arr: np.ndarray, gt, crs, block: int 
     return df, meta
 
 
+def synthetic_raster(spark: SparkSession, meta: RasterMeta) -> DataFrame:
+    """Executor-side deterministic raster: value = (row*7 + col*13) % 256
+    (byte-range, GDT_Byte-like — the reference warp bench shape). Blocks
+    generate in parallel from spark.range, no driver data."""
+    nbx, block = meta.nbx, meta.block
+    width, height = meta.width, meta.height
+
+    def gen(it):
+        import pandas as pd  # noqa: F811
+
+        for pdf in it:
+            rows = []
+            for bid in pdf["id"]:
+                bx, by = int(bid) % nbx, int(bid) // nbx
+                w = min(block, width - bx * block)
+                h = min(block, height - by * block)
+                jj, ii = np.meshgrid(
+                    np.arange(by * block, by * block + h),
+                    np.arange(bx * block, bx * block + w),
+                    indexing="ij",
+                )
+                arr = ((jj * 7 + ii * 13) % 256).astype(np.float64)
+                rows.append((bx, by, w, h, arr.ravel()))
+            yield pd.DataFrame(
+                rows, columns=["bx", "by", "w", "h", "block"]
+            )
+
+    return spark.range(meta.nbx * meta.nby).mapInPandas(
+        gen, "bx int, by int, w int, h int, block array<double>"
+    )
+
+
 def raster_to_array(blocks: DataFrame, meta: RasterMeta) -> np.ndarray:
     """Collect a (small) raster back to a driver array (tests/goldens)."""
     out = np.full((meta.height, meta.width), meta.nodata, dtype=np.float64)
@@ -173,7 +205,7 @@ def warp(
         return pd.DataFrame(
             {
                 "bx": [dbx], "by": [dby], "w": [dw], "h": [dh],
-                "block": [out.ravel().tolist()],
+                "block": [out.ravel()],
             }
         )
 

@@ -46,7 +46,23 @@ def merc_meta_pair():
     return src, dst
 
 
-@pytest.mark.parametrize("resampling", ["near", "bilinear"])
+def test_cubic_reproduces_linear_ramp():
+    """Catmull-Rom convolution is exact on linear functions — a warp of a
+    linear ramp onto a shifted grid of the same CRS returns the ramp
+    values at the dst pixel centers (interior)."""
+    arr = ramp()
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    # dst grid shifted by a fractional pixel
+    gt2 = (0.3, 1.0, 0.0, 0.7, 0.0, 1.0)
+    out = WK.warp_block(arr, gt, "EPSG:3857", (100, 100), gt2, "EPSG:3857", "cubic")
+    jj, ii = np.meshgrid(np.arange(100), np.arange(100), indexing="ij")
+    expect = 1000.0 * (jj + 0.5 + 0.7 - 0.5) + (ii + 0.5 + 0.3 - 0.5)
+    interior = np.zeros((100, 100), dtype=bool)
+    interior[3:-3, 3:-3] = True
+    assert np.allclose(out[interior], expect[interior], atol=1e-9)
+
+
+@pytest.mark.parametrize("resampling", ["near", "bilinear", "cubic"])
 def test_distributed_warp_matches_kernel(spark, resampling):
     arr = ramp()
     src, dst = merc_meta_pair()
