@@ -154,7 +154,7 @@ def main() -> None:
         total += dt
 
     pipe = run_pipeline(spark, n_bench)
-    warp = run_warp_bench(spark, int(os.environ.get("WARP_BENCH_SIZE", "4096")))
+    warp = run_warp_bench(spark, int(os.environ.get("WARP_BENCH_SIZE", "2048")))
 
     out = {
         "metric": "headline-query wall time",
