@@ -421,6 +421,23 @@ def q_rollup(spark, sf_dir):
     )
 
 
+def q_ogr_join_chain(spark, sf_dir):
+    """Multi-way equi-join chain (supplier -> nation -> region) with
+    aggregation — the OGR SQL secondary-datasource join generalized."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(OG.cents("s_acctbal")).alias("sum_bal_cents"),
+        )
+    )
+
+
 def q_zonal_metrics(spark, sf_dir):
     """gdalgrid data-metrics family (minimum/maximum/range/count,
     /root/reference/alg/gdalgrid.cpp:1033) as groupBy-cell aggregation."""
@@ -545,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_translate": q_vector_translate,
         "set_ops": q_set_ops,
         "rollup": q_rollup,
+        "ogr_join_chain": q_ogr_join_chain,
         "zonal_metrics": q_zonal_metrics,
         "events_json": q_events_json,
         "geom_props": q_geom_props,
@@ -725,6 +743,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
                    CAST(SUM({OG.cents_sql('o_totalprice')}) AS BIGINT) AS sum_cents
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "ogr_join_chain": f"""
+            SELECT r.r_name, n.n_name, COUNT(*) AS n_suppliers,
+                   CAST(SUM({OG.cents_sql('s.s_acctbal')}) AS BIGINT) AS sum_bal_cents
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
         """,
         "ogr_hstore": """
             SELECT o_orderkey,

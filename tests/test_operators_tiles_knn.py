@@ -90,6 +90,24 @@ def test_pip_strategies_agree(spark, pages):
     assert len(a) > 0
 
 
+def test_polygonize_8connected(spark):
+    """8CONNECTED option (polygonize.cpp:87): two diagonal-touching
+    squares are one component 8-connected, two components 4-connected."""
+    from gdal_spark.operators.polygonize import component_summary, polygonize
+
+    rows = []
+    for px, py in [(10, 10), (11, 11)]:  # diagonal touch
+        rows.append((8, 5, 5, px, py, 1))
+    df = spark.createDataFrame(
+        rows, "zoom int, tx long, ty long, px int, py int, value long"
+    )
+    four = component_summary(polygonize(df, zoom=8)).collect()
+    eight = component_summary(polygonize(df, zoom=8, connect8=True)).collect()
+    assert len(four) == 2
+    assert len(eight) == 1
+    assert eight[0]["n_pixels"] == 2
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as E
 
