@@ -54,6 +54,27 @@ KNN_QUERIES_SPARSE = KNN_QUERIES + [
 KNN_K = 5
 
 
+def _prep(spark: SparkSession) -> None:
+    """Ship gdal_spark to executors even when the caller built its own
+    SparkSession (the driver does): pandas_udfs unpickle by module
+    reference, and python workers do not inherit the driver's sys.path
+    inserts. Idempotent (addPyFile dedupes)."""
+    try:
+        from gdal_spark.session import _ship_package
+
+        _ship_package(spark)
+    except Exception:
+        pass
+
+
+def _wrap(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages_from_documents(spark, sf_dir, keep_internal=True)
 
@@ -516,6 +537,7 @@ def q_events_lag(spark, sf_dir):
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full pipeline at sf0.001 — extract -> PIP join -> tiles."""
+    _prep(spark)
     sf_dir = "/root/testdata/sf0.001"
     p = _pages_extracted(spark, sf_dir)
     j = pip_join_broadcast(p, zones_df(spark))
@@ -527,6 +549,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        name: _wrap(fn)
+        for name, fn in _QUERIES.items()
+    }
+
+
+_QUERIES = {
         "pip_broadcast": q_pip_broadcast,
         "pip_bucketed": q_pip_bucketed,
         "extract_text": q_extract_text,
