@@ -142,6 +142,45 @@ def _raycast_contains(lat: pd.Series, lon: pd.Series, geom: pd.Series) -> pd.Ser
     return pd.Series(out)
 
 
+def _polys_of(buf: bytes):
+    polys = []
+    for rings in W.decode_polygons(buf):
+        ring_list = []
+        for ring in rings:
+            ring_list.append(
+                [
+                    {
+                        "x1": float(ring[i, 0]),
+                        "y1": float(ring[i, 1]),
+                        "x2": float(ring[i - 1, 0]),
+                        "y2": float(ring[i - 1, 1]),
+                    }
+                    for i in range(1, ring.shape[0])
+                ]
+            )
+        polys.append(ring_list)
+    return polys
+
+
+def _with_polys(zdf: DataFrame, driver_threshold: int = 2000) -> DataFrame:
+    """Attach compiled segment arrays; small zone tables compile
+    driver-side (no python-worker spin-up), large ones via pandas_udf."""
+    n = zdf.limit(driver_threshold + 1).count()
+    if n > driver_threshold:
+        return zdf.withColumn("polys", _compile_segments(F.col("geometry")))
+    rows = zdf.select("zone_id", "geometry").distinct().collect()
+    spark = zdf.sparkSession
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("zone_id", LongType()), StructField("polys", SEGMENTS_SCHEMA)]
+    )
+    pdf = spark.createDataFrame(
+        [(r["zone_id"], _polys_of(bytes(r["geometry"]))) for r in rows], schema
+    )
+    return zdf.join(F.broadcast(pdf), "zone_id")
+
+
 def _zone_envelopes(zones: DataFrame) -> DataFrame:
     """Attach envelope columns (minx..maxy) to zones — computed once on the
     (small) zones side; equivalent of OGRGeometry::getEnvelope."""
@@ -173,7 +212,7 @@ def pip_join_broadcast(
     """
     z = _zone_envelopes(zones)
     if refine == "sql":
-        z = z.withColumn("polys", _compile_segments(F.col("geometry")))
+        z = _with_polys(z)
     lat, lon = F.col(lat_col), F.col(lon_col)
     cond = (
         lat.isNotNull()
@@ -196,18 +235,52 @@ def pip_join_broadcast(
 LADDER = (3, 6, 9)  # coarse->fine adaptive cover resolutions
 
 
-def zone_cells(zones: DataFrame, res: int | None = None, max_cells: int = 4096) -> DataFrame:
+def _cover_of(buf: bytes, res: int | None, max_cells: int):
+    from ..kernels.mercator import clip_lat, latlon_to_meters
+
+    minx, miny, maxx, maxy = W.envelope(buf)
+    mx, my = latlon_to_meters(clip_lat(np.array([miny, maxy])), np.array([minx, maxx]))
+    if res is None:
+        return HX.cover_bbox_adaptive(
+            float(mx[0]), float(my[0]), float(mx[1]), float(my[1]),
+            ladder=LADDER, max_cells=max_cells,
+        )
+    return HX.cover_bbox(float(mx[0]), float(my[0]), float(mx[1]), float(my[1]), res)
+
+
+def zone_cells(
+    zones: DataFrame,
+    res: int | None = None,
+    max_cells: int = 4096,
+    driver_threshold: int = 2000,
+) -> DataFrame:
     """Explode zones to covering hex cells (superset cover).
 
     res=None (default) picks the finest LADDER res per zone whose cover
     stays under max_cells — a continent-sized zone gets ~2k coarse cells
-    while a city zone gets fine ones (fewer refine false-positives). Runs
-    on the zones side only — cost O(#zones * cells/zone); distributed via
-    pandas_udf so arbitrarily large zone tables scale out.
+    while a city zone gets fine ones (fewer refine false-positives).
+
+    Small zone tables (<= driver_threshold rows) compute covers
+    driver-side and skip the python-worker spin-up entirely (they would
+    pay ~10-60s of cold Arrow workers for milliseconds of math); larger
+    tables distribute via pandas_udf.
     """
     from pyspark.sql.types import ArrayType, LongType
 
     from ..kernels.mercator import clip_lat, latlon_to_meters
+
+    n = zones.limit(driver_threshold + 1).count()
+    if n <= driver_threshold:
+        rows = zones.select("zone_id", "geometry").collect()
+        spark = zones.sparkSession
+        cells = [
+            (r["zone_id"], [int(c) for c in _cover_of(bytes(r["geometry"]), res, max_cells)])
+            for r in rows
+        ]
+        cdf = spark.createDataFrame(cells, "zone_id long, cells array<long>")
+        return zones.join(F.broadcast(cdf), "zone_id").withColumn(
+            "cell", F.explode("cells")
+        ).drop("cells")
 
     @F.pandas_udf(ArrayType(LongType()))
     def _cover(geom: pd.Series) -> pd.Series:
@@ -290,9 +363,9 @@ def pip_join_bucketed(
     hot_cell_salts) salts only the hot cells, each by its own factor —
     cold cells pay nothing.
     """
-    zc = zone_cells(zones, res)
-    if refine == "sql":
-        zc = zc.withColumn("polys", _compile_segments(F.col("geometry")))
+    # compile polys BEFORE the cell explode (the exploded table exceeds
+    # the driver-side threshold even for tiny zone sets)
+    zc = zone_cells(_with_polys(zones) if refine == "sql" else zones, res)
     p = pages.filter(F.col(lat_col).isNotNull())
     if res is None:
         p = p.withColumn(
