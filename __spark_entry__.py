@@ -459,6 +459,64 @@ def q_ogr_join_chain(spark, sf_dir):
     )
 
 
+HILLSHADE_N = 128
+HILLSHADE_GT = (0.0, 10.0, 0.0, 1000.0, 0.0, -10.0)
+
+
+def q_hillshade(spark, sf_dir):
+    """Horn hillshade over the deterministic synthetic raster, interior
+    pixels, 1e-6-rounded (numpy vs SQL transcendental agreement)."""
+    from gdal_spark.operators import raster as R
+    from gdal_spark.operators.focal import focal
+
+    n = HILLSHADE_N
+    meta = R.RasterMeta(n, n, HILLSHADE_GT, "EPSG:3857", block=32)
+    out = focal(R.synthetic_raster(spark, meta), meta, "hillshade")
+    px = out.select("bx", "by", F.posexplode("block").alias("idx", "val")).select(
+        (F.col("bx") * 32 + F.col("idx") % 32).alias("gx"),
+        (F.col("by") * 32 + (F.col("idx") / 32).cast("int")).alias("gy"),
+        F.round("val", 6).alias("shade"),
+    )
+    return px.filter(
+        (F.col("gx") > 0) & (F.col("gx") < n - 1)
+        & (F.col("gy") > 0) & (F.col("gy") < n - 1)
+    )
+
+
+def _hillshade_oracle() -> str:
+    import math
+
+    n = HILLSHADE_N
+    ewres, nsres = HILLSHADE_GT[1], HILLSHADE_GT[5]
+    zf = 1.0 / 8.0
+    altr = math.radians(45.0)
+    azr = math.radians(315.0)
+    sin254 = 254.0 * math.sin(altr)
+    cy = 254.0 * math.cos(azr) * (math.cos(altr) * zf)
+    cx = 254.0 * math.sin(azr) * (math.cos(altr) * zf)
+
+    def v(dx, dy):
+        return f"(((gy + {dy}) * 7 + (gx + {dx}) * 13) % 256)"
+
+    # Horn gradient (kernels/dem.py op order)
+    gx_e = (
+        f"((({v(-1,-1)} + {v(-1,0)} + {v(-1,0)} + {v(-1,1)})"
+        f" - ({v(1,-1)} + {v(1,0)} + {v(1,0)} + {v(1,1)})) * {1.0 / ewres!r})"
+    )
+    gy_e = (
+        f"((({v(-1,1)} + {v(0,1)} + {v(0,1)} + {v(1,1)})"
+        f" - ({v(-1,-1)} + {v(0,-1)} + {v(0,-1)} + {v(1,-1)})) * {1.0 / nsres!r})"
+    )
+    num = f"({sin254!r} - (({gy_e}) * {cy!r} - ({gx_e}) * {cx!r}))"
+    cang = f"({num} / SQRT(1.0 + {zf * zf!r} * ({gx_e} * {gx_e} + {gy_e} * {gy_e})))"
+    return f"""
+      SELECT CAST(x.range AS BIGINT) AS gx, CAST(y.range AS BIGINT) AS gy,
+             ROUND(CASE WHEN {cang} <= 0.0 THEN 1.0 ELSE 1.0 + {cang} END, 6)
+               AS shade
+      FROM range(1, {n - 1}) x, range(1, {n - 1}) y
+    """
+
+
 def q_zonal_metrics(spark, sf_dir):
     """gdalgrid data-metrics family (minimum/maximum/range/count,
     /root/reference/alg/gdalgrid.cpp:1033) as groupBy-cell aggregation."""
@@ -591,6 +649,7 @@ _QUERIES = {
         "set_ops": q_set_ops,
         "rollup": q_rollup,
         "ogr_join_chain": q_ogr_join_chain,
+        "hillshade": q_hillshade,
         "zonal_metrics": q_zonal_metrics,
         "events_json": q_events_json,
         "geom_props": q_geom_props,
@@ -772,6 +831,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM({OG.cents_sql('o_totalprice')}) AS BIGINT) AS sum_cents
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
+        "hillshade": _hillshade_oracle(),
         "ogr_join_chain": f"""
             SELECT r.r_name, n.n_name, COUNT(*) AS n_suppliers,
                    CAST(SUM({OG.cents_sql('s.s_acctbal')}) AS BIGINT) AS sum_bal_cents
