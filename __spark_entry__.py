@@ -31,6 +31,7 @@ from gdal_spark.operators.zones import (
     zones_df,
     zones_oracle_match_sql,
     zones_polygonize_oracle_sql,
+    zones_polygonize_wkt_oracle_sql,
     zones_rasterize_oracle_sql,
 )
 
@@ -63,8 +64,11 @@ def _prep(spark: SparkSession) -> None:
         from gdal_spark.session import _ship_package
 
         _ship_package(spark)
-    except Exception:
-        pass
+    except Exception as exc:  # failure surfaces later as ModuleNotFoundError
+        import sys
+
+        print(f"warning: could not ship gdal_spark to executors: {exc!r}",
+              file=sys.stderr)
 
 
 def _wrap(fn):
@@ -572,6 +576,33 @@ def q_polygonize(spark, sf_dir):
     return component_summary(polygonize(px, zoom=POLYGONIZE_ZOOM))
 
 
+def q_polygonize_polys(spark, sf_dir):
+    """Full GDALPolygonize output: POLYGON geometry per component (outer
+    ring + holes, reference vertex order — alg/polygonize_polygonizer.cpp
+    semantics pinned in tests/test_polygonize_rings.py). Oracle rebuilds
+    the canonical WKT from per-part pixel bounds in SQL."""
+    from gdal_spark.operators.polygonize import polygonize_polygons
+    from gdal_spark.operators.rasterize_poly import rasterize_zones
+
+    z = zones_df(spark).filter(F.col("zone_id").isin(list(POLYGONIZE_ZONES)))
+    px = rasterize_zones(z, POLYGONIZE_ZOOM).withColumnRenamed("zone_id", "value")
+    out = polygonize_polygons(px, zoom=POLYGONIZE_ZOOM)
+    return out.select("value", "component", "n_rings", "area_px", "wkt_px")
+
+
+def q_footprint(spark, sf_dir):
+    """gdal_footprint (apps/gdal_footprint_lib.cpp:112): valid-data mask
+    polygons of the rasterized zone set."""
+    from gdal_spark.operators.polygonize import footprint
+    from gdal_spark.operators.rasterize_poly import rasterize_zones
+
+    z = zones_df(spark).filter(F.col("zone_id").isin(list(POLYGONIZE_ZONES)))
+    px = rasterize_zones(z, POLYGONIZE_ZOOM)
+    return footprint(px, zoom=POLYGONIZE_ZOOM).select(
+        "component", "n_rings", "area_px", "wkt_px"
+    )
+
+
 def q_events_window(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -640,6 +671,8 @@ _QUERIES = {
         "ogr_cast_arith": q_ogr_cast_arith,
         "rasterize_zones": q_rasterize_zones,
         "polygonize": q_polygonize,
+        "polygonize_polys": q_polygonize_polys,
+        "footprint": q_footprint,
         "warp_near": q_warp_near,
         "hex_index": q_hex_index,
         "s2_index": q_s2_index,
@@ -783,6 +816,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rasterize_zones": zones_rasterize_oracle_sql(RASTERIZE_ZOOM, RASTERIZE_ZONES),
         "polygonize": zones_polygonize_oracle_sql(POLYGONIZE_ZOOM, POLYGONIZE_ZONES),
+        "polygonize_polys": zones_polygonize_wkt_oracle_sql(
+            POLYGONIZE_ZOOM, POLYGONIZE_ZONES
+        ),
+        "footprint": f"""
+            SELECT component, n_rings, area_px, wkt_px FROM (
+              {zones_polygonize_wkt_oracle_sql(POLYGONIZE_ZOOM, POLYGONIZE_ZONES)}
+            )
+        """,
         "warp_near": _warp_oracle(),
         "hex_index": _with_pages(
             f"""

@@ -120,18 +120,38 @@ def minhash_signatures(corpus: DataFrame, text_col: str = "text") -> DataFrame:
     return df
 
 
-def lsh_pairs(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+def lsh_pairs(
+    corpus: DataFrame, text_col: str = "text", max_bucket: int | None = None
+) -> DataFrame:
     """Candidate pairs colliding in >=1 band, verified by true shingle
-    Jaccard >= JACCARD_THRESHOLD. Output: id_a < id_b, n_common_bands."""
+    Jaccard >= JACCARD_THRESHOLD. Output: id_a < id_b, n_common_bands.
+
+    Scale shape: the band table carries ONLY (doc_id, band_id, bh) — the
+    corpus's shingle sets do NOT ride the band explode / candidate
+    shuffle. Surviving candidate pairs join BACK to a narrow
+    (doc_id, shingles) projection twice for the exact Jaccard check, so
+    shingles move once per candidate side instead of 4x per corpus row.
+
+    max_bucket (optional): drop band buckets larger than this before the
+    self-join — degenerate mega-buckets (boilerplate corpora) make
+    O(bucket^2) pairs; every dropped doc pair still collides in its other
+    bands unless identical in all. None (default) keeps exact-LSH
+    semantics (what the DuckDB oracle computes)."""
     nb = NUM_HASHES // BAND_ROWS
     sigs = minhash_signatures(corpus, text_col)
     bands = sigs.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("bh")) for b in range(nb)])
         ).alias("bb"),
-    ).select("doc_id", "shingles", "bb.band_id", "bb.bh")
+    ).select("doc_id", "bb.band_id", "bb.bh")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        wc = Window.partitionBy("band_id", "bh")
+        bands = bands.withColumn("_bn", F.count(F.lit(1)).over(wc)).filter(
+            F.col("_bn") <= max_bucket
+        ).drop("_bn")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -141,11 +161,15 @@ def lsh_pairs(corpus: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_common_bands"),
-            F.first("a.shingles").alias("sa"),
-            F.first("b.shingles").alias("sb"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_common_bands"))
+    )
+    # join-back: shingles only for docs that appear in candidate pairs
+    sh = corpus.filter(
+        F.expr(f"size(split({text_col}, ' ')) >= {SHINGLE}")
+    ).select("doc_id", F.expr(_shingles_expr(text_col)).alias("sh"))
+    cand = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb")), "id_b")
     )
     jac = F.expr("CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb))")
     return (

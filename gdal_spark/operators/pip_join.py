@@ -181,9 +181,26 @@ def _with_polys(zdf: DataFrame, driver_threshold: int = 2000) -> DataFrame:
     return zdf.join(F.broadcast(pdf), "zone_id")
 
 
-def _zone_envelopes(zones: DataFrame) -> DataFrame:
-    """Attach envelope columns (minx..maxy) to zones — computed once on the
-    (small) zones side; equivalent of OGRGeometry::getEnvelope."""
+def _zone_envelopes(zones: DataFrame, driver_threshold: int = 2000) -> DataFrame:
+    """Attach envelope columns (minx..maxy) to zones — equivalent of
+    OGRGeometry::getEnvelope. Small tables compile driver-side (no
+    python-worker spin-up); past driver_threshold the envelopes come from
+    a pandas_udf instead so a direct pip_join_broadcast call on a large
+    zones table cannot OOM the driver (same guard as _with_polys)."""
+    n = zones.limit(driver_threshold + 1).count()
+    if n > driver_threshold:
+        from pyspark.sql.types import DoubleType
+
+        @F.pandas_udf("minx double, miny double, maxx double, maxy double")
+        def _env(geom: pd.Series) -> pd.DataFrame:
+            vals = [
+                W.envelope(bytes(buf)) if buf is not None else (None,) * 4
+                for buf in geom
+            ]
+            return pd.DataFrame(vals, columns=["minx", "miny", "maxx", "maxy"])
+
+        z = zones.withColumn("_env", _env(F.col("geometry")))
+        return z.select("*", "_env.minx", "_env.miny", "_env.maxx", "_env.maxy").drop("_env")
     rows = zones.select("zone_id", "geometry").collect()
     env = [
         (r["zone_id"],) + W.envelope(bytes(r["geometry"]))

@@ -1,7 +1,9 @@
-"""Raster -> vector: connected components of equal pixel value.
+"""Raster -> vector: connected components of equal pixel value, with
+polygon-geometry emission (ring tracing).
 
 Re-expresses GDALPolygonize (/root/reference/alg/polygonize.cpp:73
-GDALPolygonizeT, 4-connected default / 8CONNECTED option :87) over the
+GDALPolygonizeT, 4-connected default / 8CONNECTED option :87; ring output
+via the two-arm edge tracer alg/polygonize_polygonizer.cpp) over the
 sparse tile-pixel model, as the SURVEY.md §7 "hard part" two-phase plan:
 
   1. per-tile local components — union-find over the tile's sparse pixels
@@ -10,30 +12,37 @@ sparse tile-pixel model, as the SURVEY.md §7 "hard part" two-phase plan:
      (gid = gpy * world_width + gpx), so labels are deterministic;
   2. cross-tile merge — only tile-BORDER pixels participate: adjacent
      pixels in neighboring tiles with equal value yield equivalence edges
-     between provisional labels; iterative min-label propagation over
-     this (small) label graph runs driver-side joins until fixpoint —
-     iteration count is bounded by the diameter of the TILE adjacency
-     graph of a component, not its pixel diameter;
+     between provisional labels (joined on explicit (gx, gy) neighbor
+     coordinates — raw gid arithmetic would wrap across grid-row ends).
+     The label graph has one node per (tile, component) and one edge per
+     cross-tile adjacency — it scales with TILES, not pixels. Below
+     `merge_threshold` edges it is solved driver-side (union-find over a
+     few MB); above, a distributed min-label-propagation + pointer-
+     jumping join loop converges in O(log diameter) iterations;
   3. pixels re-join the final label mapping.
 
-Output: (value, component, zoom, tx, ty, px, py) with `component` the
-global min-gid of the component — a pure function of the raster, so
-results are engine-order independent (the reference's polygon ids are
-scan-order dependent; we canonicalize by min pixel instead, and tests /
-oracles compare component PARTITIONS, value + pixel sets, which is the
-semantically meaningful output).
+Output of `polygonize`: (value, component, zoom, tx, ty, px, py) with
+`component` the global min-gid of the component — a pure function of the
+raster, so results are engine-order independent (the reference's polygon
+ids are scan-order dependent; we canonicalize by min pixel instead).
+
+`polygonize_polygons` adds the reference's actual output: one POLYGON per
+component (outer ring + holes, canonical GDAL vertex order — pinned
+byte-for-byte against autotest/alg/polygonize.py WKT goldens in
+tests/test_polygonize_rings.py). Boundary edges are derived with ONE
+neighbor equi-join on (gx, gy) and traced per-component in applyInPandas
+— per-group work scales with component PERIMETER, not area.
 """
 
 from __future__ import annotations
-
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.geo import TILE_SIZE
+from ..functions.geo import ORIGIN_SHIFT, TILE_SIZE
+from ..functions.geo import resolution as zoom_resolution
 
 
 def _find(parent: dict, a):
@@ -54,18 +63,35 @@ def _union(parent: dict, a, b):
             parent[ra] = rb
 
 
+def _resolve_zoom(pixels: DataFrame, zoom: int | None) -> int:
+    row = pixels.select(
+        F.min("zoom").alias("zmin"), F.max("zoom").alias("zmax")
+    ).collect()[0]
+    if row["zmin"] is None:
+        return zoom if zoom is not None else 0
+    if row["zmin"] != row["zmax"]:
+        raise ValueError(
+            f"polygonize requires a single zoom level, got {row['zmin']}..{row['zmax']}"
+        )
+    if zoom is not None and zoom != row["zmin"]:
+        raise ValueError(f"zoom={zoom} but input pixels are at zoom {row['zmin']}")
+    return int(row["zmin"])
+
+
 def polygonize(
     pixels: DataFrame,
     value_col: str = "value",
     zoom: int | None = None,
     connect8: bool = False,
+    merge_threshold: int = 2_000_000,
+    max_iters: int = 50,
 ) -> DataFrame:
     """Label connected components of equal `value_col`.
 
     pixels: (zoom, tx, ty, px, py, value). Returns the same rows plus a
     `component` column (global min pixel gid of the component).
     """
-    z = zoom if zoom is not None else pixels.select(F.min("zoom")).collect()[0][0]
+    z = _resolve_zoom(pixels, zoom)
     world = (1 << z) * TILE_SIZE
 
     px_df = pixels.select(
@@ -81,11 +107,14 @@ def polygonize(
         vals = pdf["value"].to_numpy()
         gx = gids % world
         gy = gids // world
-        key = {}
-        for g, v in zip(gids, vals):
-            key[g] = v
         parent = {int(g): int(g) for g in gids}
         pos = {(int(x), int(y)): (int(g), v) for x, y, g, v in zip(gx, gy, gids, vals)}
+        if len(pos) != len(gids):
+            raise ValueError(
+                f"duplicate pixels in tile ({int(pdf['tx'].iloc[0])},"
+                f"{int(pdf['ty'].iloc[0])}): {len(gids)} rows, {len(pos)} "
+                "distinct positions — dedupe or merge burns upstream"
+            )
         neigh = [(-1, 0), (0, -1)]
         if connect8:
             neigh += [(-1, -1), (1, -1)]
@@ -105,48 +134,120 @@ def polygonize(
     )
     labeled = labeled.persist()
 
-    # cross-tile equivalence edges from border-adjacent equal-value pixels
+    # cross-tile equivalence edges from border-adjacent equal-value pixels,
+    # joined on EXPLICIT (gx, gy) pairs (gid-difference shifts would wrap
+    # across grid-row ends: gid(world-1, y) + 1 == gid(0, y+1))
     border = labeled.filter(
         (F.col("px") == 0) | (F.col("px") == TILE_SIZE - 1)
         | (F.col("py") == 0) | (F.col("py") == TILE_SIZE - 1)
-    ).select("gid", "value", "label")
-    shifts = [1, world]
+    ).select(
+        (F.col("gid") % world).alias("gx"),
+        (F.col("gid") / world).cast("long").alias("gy"),
+        "value",
+        "label",
+    )
+    shifts = [(1, 0), (0, 1)]
     if connect8:
-        shifts += [world - 1, world + 1]
+        shifts += [(1, 1), (-1, 1)]
     a = border.alias("a")
     edges = None
-    for s in shifts:
+    for dx, dy in shifts:
         b = border.select(
-            (F.col("gid") - s).alias("gid_match"),
+            (F.col("gx") - dx).alias("bx"),
+            (F.col("gy") - dy).alias("by"),
             F.col("value").alias("value_b"),
             F.col("label").alias("label_b"),
         ).alias("b")
-        e = a.join(b, (F.col("a.gid") == F.col("gid_match"))
-                   & (F.col("a.value") == F.col("value_b"))).select(
-            F.col("a.label").alias("la"), F.col("label_b").alias("lb")
-        )
+        e = a.join(
+            b,
+            (F.col("a.gx") == F.col("bx"))
+            & (F.col("a.gy") == F.col("by"))
+            & (F.col("a.value") == F.col("value_b")),
+        ).select(F.col("a.label").alias("la"), F.col("label_b").alias("lb"))
         edges = e if edges is None else edges.unionByName(e)
-    edge_rows = edges.filter(F.col("la") != F.col("lb")).distinct().collect()
-    # The label graph has one node per (tile, component) and one edge per
-    # cross-tile adjacency — it scales with TILES, not pixels, so solving
-    # it centrally is fine far beyond this sandbox (millions of edges =
-    # megabytes). A distributed min-label-propagation loop is the fallback
-    # past that.
-    parent: dict = {}
-    for r in edge_rows:
-        a, b = int(r["la"]), int(r["lb"])
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        _union(parent, a, b)
-    mapping = [(lbl, _find(parent, lbl)) for lbl in parent]
-    if mapping:
-        mdf = labeled.sparkSession.createDataFrame(mapping, "label long, comp long")
-        out = labeled.join(F.broadcast(mdf), "label", "left").withColumn(
-            "component", F.coalesce(F.col("comp"), F.col("label"))
+    edges = edges.filter(F.col("la") != F.col("lb")).distinct().persist()
+    n_edges = edges.count()
+
+    if n_edges == 0:
+        edges.unpersist()
+        return labeled.withColumn("component", F.col("label")).select(
+            "value", "component", "zoom", "tx", "ty", "px", "py"
         )
+
+    if n_edges <= merge_threshold:
+        # label graph fits comfortably on the driver (one node per
+        # (tile, component), one edge per cross-tile adjacency)
+        edge_rows = edges.collect()
+        parent: dict = {}
+        for r in edge_rows:
+            p, q = int(r["la"]), int(r["lb"])
+            parent.setdefault(p, p)
+            parent.setdefault(q, q)
+            _union(parent, p, q)
+        mapping = [(lbl, _find(parent, lbl)) for lbl in parent]
+        mdf = labeled.sparkSession.createDataFrame(mapping, "label long, comp long")
     else:
-        out = labeled.withColumn("component", F.col("label"))
+        mdf = _distributed_min_label(edges, max_iters)
+    edges.unpersist()
+
+    out = labeled.join(F.broadcast(mdf) if n_edges <= merge_threshold else mdf,
+                       "label", "left").withColumn(
+        "component", F.coalesce(F.col("comp"), F.col("label"))
+    )
     return out.select("value", "component", "zoom", "tx", "ty", "px", "py")
+
+
+def _distributed_min_label(edges: DataFrame, max_iters: int) -> DataFrame:
+    """Connected components on the label graph as a join loop: per
+    iteration every node takes the min component over itself, its
+    neighbors, and its current component's component (pointer jumping),
+    so convergence is O(log diameter). Returns (label, comp)."""
+    sym = edges.union(
+        edges.select(F.col("lb").alias("la"), F.col("la").alias("lb"))
+    )
+    sym = sym.distinct().persist()
+    m = (
+        sym.select(F.col("la").alias("label"))
+        .distinct()
+        .withColumn("comp", F.col("label"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        nb_min = (
+            sym.join(m.withColumnRenamed("label", "lb"), "lb")
+            .groupBy("la")
+            .agg(F.min("comp").alias("nmin"))
+            .withColumnRenamed("la", "label")
+        )
+        jump = m.join(
+            m.select(F.col("label").alias("comp"), F.col("comp").alias("jmin")),
+            "comp",
+            "left",
+        ).select("label", F.coalesce("jmin", "comp").alias("jmin"))
+        m2 = (
+            m.join(nb_min, "label", "left")
+            .join(jump, "label", "left")
+            .select(
+                "label",
+                F.least(
+                    "comp", F.coalesce("nmin", "comp"), F.coalesce("jmin", "comp")
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            m2.join(m.withColumnRenamed("comp", "old"), "label")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        m.unpersist()
+        m = m2
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"label propagation did not converge in {max_iters} iters")
+    sym.unpersist()
+    return m
 
 
 def component_summary(labeled: DataFrame) -> DataFrame:
@@ -154,4 +255,108 @@ def component_summary(labeled: DataFrame) -> DataFrame:
     partition-level view used by tests/oracles."""
     return labeled.groupBy("value", "component").agg(
         F.count(F.lit(1)).alias("n_pixels")
+    )
+
+
+# ---------------------------------------------------------------- polygons
+
+
+def polygonize_polygons(
+    pixels: DataFrame,
+    value_col: str = "value",
+    zoom: int | None = None,
+    connect8: bool = False,
+    **kw,
+) -> DataFrame:
+    """Full GDALPolygonize semantics: one POLYGON geometry per component.
+
+    Returns (value, component, n_rings, area_px, wkt_px, wkb):
+      * wkt_px — canonical WKT in global-pixel-CORNER coordinates
+        (x=gx, y=gy, row down), reference vertex order (see kernels/rings);
+      * wkb — the same polygon in EPSG:3857 meters via the zoom's
+        geotransform (-OS, res, 0, OS, 0, -res), NDR WKB.
+
+    Plan: label (polygonize) -> ONE neighbor equi-join on (gx, gy) marks
+    boundary sides -> groupBy(component) ring tracing in applyInPandas.
+    The traced group holds only BOUNDARY edges (perimeter-sized).
+    """
+    z = _resolve_zoom(pixels, zoom)
+    res = zoom_resolution(z)
+    gt = (-ORIGIN_SHIFT, res, 0.0, ORIGIN_SHIFT, 0.0, -res)
+
+    labeled = polygonize(pixels, value_col, z, connect8, **kw)
+    g = labeled.select(
+        "value",
+        "component",
+        (F.col("tx") * TILE_SIZE + F.col("px")).alias("gx"),
+        (F.col("ty") * TILE_SIZE + F.col("py")).alias("gy"),
+    )
+    nb = g.select(
+        F.col("gx").alias("nx"), F.col("gy").alias("ny"),
+        F.col("component").alias("ncomp"),
+    )
+    # side codes per kernels/rings: 0=top 1=right 2=bottom 3=left
+    sides = F.array(
+        F.struct(F.lit(0).alias("side"), F.lit(0).alias("dx"), F.lit(-1).alias("dy")),
+        F.struct(F.lit(1).alias("side"), F.lit(1).alias("dx"), F.lit(0).alias("dy")),
+        F.struct(F.lit(2).alias("side"), F.lit(0).alias("dx"), F.lit(1).alias("dy")),
+        F.struct(F.lit(3).alias("side"), F.lit(-1).alias("dx"), F.lit(0).alias("dy")),
+    )
+    cand = g.select(
+        "value", "component", "gx", "gy", F.explode(sides).alias("s")
+    ).select(
+        "value", "component", "gx", "gy", "s.side",
+        (F.col("gx") + F.col("s.dx")).alias("nx"),
+        (F.col("gy") + F.col("s.dy")).alias("ny"),
+    )
+    boundary = (
+        cand.join(nb, ["nx", "ny"], "left")
+        .filter(F.col("ncomp").isNull() | (F.col("ncomp") != F.col("component")))
+        .select("value", "component", "gx", "gy", "side")
+    )
+
+    from ..kernels import rings as RG
+    from ..kernels import wkb as WKB
+
+    def trace(pdf: pd.DataFrame) -> pd.DataFrame:
+        comp = int(pdf["component"].iloc[0])
+        val = int(pdf["value"].iloc[0])
+        edges = [
+            RG.edge_of_side(int(r), int(c), int(s))
+            for r, c, s in zip(pdf["gy"], pdf["gx"], pdf["side"])
+        ]
+        rings = RG.trace_rings(edges)
+        wkt_px = RG.polygon_wkt(rings)
+        area = RG.region_area_px(rings)
+        wkb = WKB.polygon_wkb(RG.rings_to_map(rings, gt))
+        return pd.DataFrame(
+            {
+                "value": [val],
+                "component": [comp],
+                "n_rings": [len(rings)],
+                "area_px": [float(area)],
+                "wkt_px": [wkt_px],
+                "wkb": [wkb],
+            }
+        )
+
+    return boundary.groupBy("component").applyInPandas(
+        trace,
+        "value long, component long, n_rings int, area_px double, "
+        "wkt_px string, wkb binary",
+    )
+
+
+def footprint(
+    pixels: DataFrame, zoom: int | None = None, connect8: bool = False
+) -> DataFrame:
+    """gdal_footprint (apps/gdal_footprint_lib.cpp:112): polygon(s) of the
+    valid-data area — polygonize of the validity mask (every input pixel
+    is valid data; value collapses to 1). One row per footprint part."""
+    mask = pixels.select("zoom", "tx", "ty", "px", "py").distinct().withColumn(
+        "value", F.lit(1)
+    )
+    parts = polygonize_polygons(mask, "value", zoom, connect8)
+    return parts.select(
+        "component", "n_rings", "area_px", "wkt_px", "wkb"
     )

@@ -19,10 +19,25 @@ tie-break by vec_id on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .topk import topk_per_group
+
 SIGN_BITS = 8
+
+
+def _rerank_cos(cand: DataFrame, k: int) -> DataFrame:
+    """Salted two-phase top-k by cosine desc (no single-task-per-query
+    sort; see operators/topk.py). Ties break by vec_id on both engines."""
+    return topk_per_group(
+        cand.withColumn("_negcos", -F.col("cos")),
+        ["query_id"],
+        [F.col("_negcos"), F.col("vec_id")],
+        ["vec_id"],
+        k,
+        salt_col=F.pmod(F.col("vec_id"), F.lit(64)),
+    ).select("query_id", "vec_id", F.col("rank").cast("int").alias("rank"))
 
 
 def _cos_expr(a: str, b: str) -> str:
@@ -51,12 +66,7 @@ def ann_brute(emb: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     cand = emb.crossJoin(F.broadcast(queries)).withColumn(
         "cos", F.expr(_cos_expr("embedding", "qvec"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", F.col("rank").cast("int").alias("rank"))
-    )
+    return _rerank_cos(cand, k)
 
 
 def ann_brute_sql(k: int, modulus: int = 50, rel: str = "embeddings") -> str:
@@ -92,12 +102,7 @@ def ann_lsh(emb: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     cand = e.join(F.broadcast(q), "bucket").withColumn(
         "cos", F.expr(_cos_expr("embedding", "qvec"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", F.col("rank").cast("int").alias("rank"))
-    )
+    return _rerank_cos(cand, k)
 
 
 def ann_lsh_sql(k: int, modulus: int = 50, rel: str = "embeddings") -> str:

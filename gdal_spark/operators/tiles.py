@@ -67,23 +67,38 @@ def with_pixels(
     lon_col: str = "lon",
     scheme: str = "google",
 ) -> DataFrame:
-    """Add in-tile pixel coords (px, py in 0..255) on top of assign_tiles.
+    """Add (zoom, tx, ty, px, py) with px, py guaranteed in 0..255.
 
-    Global pixel = floor(meters-to-pixels); in-tile = global - tile*256.
-    Google scheme flips py within the flipped tile row so py=0 is the tile's
-    north edge (image convention).
+    Global pixel = floor(meters-to-pixels); tile = global div 256 and
+    in-tile = global mod 256, so tile+pixel are ALWAYS consistent — for a
+    point whose global pixel coordinate is an exact multiple of 256,
+    PixelsToTile (ceil(p/256)-1, gdal2tiles.py:460-465) would pick the
+    west/south tile while floor(p) lands in the east/north one, yielding
+    px == 256 (out of range). The pixel path therefore derives the tile
+    from the SAME floored coordinate (boundary points land at px=0 of the
+    next tile); assign_tiles keeps the reference-exact PixelsToTile rule
+    for pure tile assignment. The two differ only on exact-boundary
+    points. Google scheme flips py within the flipped tile row so py=0 is
+    the tile's north edge (image convention).
     """
-    df = assign_tiles(df, zoom, lat_col, lon_col, scheme)
     gpx = F.floor(pixels_x(mercator_x(F.col(lon_col)), zoom)).cast("long")
     gpy = F.floor(pixels_x(mercator_y(clip_lat(F.col(lat_col))), zoom)).cast("long")
-    px = gpx - F.col("tx") * TILE_SIZE
-    # ty_tms recoverable: for google, ty_col = 2^z-1-ty_tms
+    tx = (gpx / TILE_SIZE).cast("long")
+    ty_tms = (gpy / TILE_SIZE).cast("long")
+    px = gpx - tx * TILE_SIZE
     if scheme == "google":
-        ty_tms = F.lit(2**zoom - 1) - F.col("ty")
+        ty = F.lit(2**zoom - 1) - ty_tms
         py = F.lit(TILE_SIZE - 1) - (gpy - ty_tms * TILE_SIZE)
     else:
-        py = gpy - F.col("ty") * TILE_SIZE
-    return df.withColumn("px", px.cast("int")).withColumn("py", py.cast("int"))
+        ty = ty_tms
+        py = gpy - ty_tms * TILE_SIZE
+    return (
+        df.withColumn("zoom", F.lit(zoom))
+        .withColumn("tx", tx)
+        .withColumn("ty", ty)
+        .withColumn("px", px.cast("int"))
+        .withColumn("py", py.cast("int"))
+    )
 
 
 def rasterize_points(
@@ -226,7 +241,16 @@ def tile_arrays(pixel_df: DataFrame, tile_size: int = TILE_SIZE) -> DataFrame:
 
     def densify(pdf: pd.DataFrame) -> pd.DataFrame:
         arr = np.zeros(n * n, dtype=np.int64)
-        idx = pdf["py"].to_numpy(dtype=np.int64) * n + pdf["px"].to_numpy(dtype=np.int64)
+        pys = pdf["py"].to_numpy(dtype=np.int64)
+        pxs = pdf["px"].to_numpy(dtype=np.int64)
+        if len(pxs) and (
+            pxs.min() < 0 or pxs.max() >= n or pys.min() < 0 or pys.max() >= n
+        ):
+            raise ValueError(
+                f"pixel out of tile range 0..{n - 1}: "
+                f"px [{pxs.min()},{pxs.max()}] py [{pys.min()},{pys.max()}]"
+            )
+        idx = pys * n + pxs
         np.add.at(arr, idx, pdf["burn"].to_numpy(dtype=np.int64))
         return pd.DataFrame(
             {

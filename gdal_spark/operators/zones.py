@@ -211,6 +211,64 @@ def zones_polygonize_oracle_sql(zoom: int, zone_ids) -> str:
     return " UNION ALL ".join(parts)
 
 
+def zones_polygonize_wkt_oracle_sql(zoom: int, zone_ids) -> str:
+    """Oracle for polygonize_polygons(rasterize(zones)): every polygon
+    PART of these zones rasterizes to an axis-aligned pixel rectangle
+    (optionally carrying one rectangular hole — zone 104), so the
+    canonical ring WKT is constructible in SQL from per-part pixel
+    bounds. Vertex order mirrors the reference convention pinned in
+    kernels/rings.py: outer starts at the top-left corner heading down
+    (south), holes start top-left heading east."""
+    world = (1 << zoom) * TILE_SIZE
+    wkbs = {zid: wkb_ for zid, _, wkb_, _ in _zone_specs()}
+    hole_pred = {104: _rect_pred(-46.7001, -23.6001, -46.6001, -23.5001)}
+    parts = []
+    for zid, pred in zone_part_preds():
+        if zid not in zone_ids:
+            continue
+        outer_ring = (
+            "concat('(', c0, ' ', r0, ',', c0, ' ', r1, ',', c1, ' ', r1, "
+            "',', c1, ' ', r0, ',', c0, ' ', r0, ')')"
+        )
+        if zid in hole_pred:
+            hole_enum = _pixel_enum_sql(zoom, zid, wkbs[zid], hole_pred[zid])
+            parts.append(f"""
+              SELECT CAST({zid} AS BIGINT) AS value,
+                     component,
+                     CAST(2 AS INTEGER) AS n_rings,
+                     CAST(n_px AS DOUBLE) AS area_px,
+                     concat('POLYGON (', {outer_ring}, ',',
+                            '(', hc0, ' ', hr0, ',', hc1, ' ', hr0, ',',
+                            hc1, ' ', hr1, ',', hc0, ' ', hr1, ',',
+                            hc0, ' ', hr0, '))') AS wkt_px
+              FROM (
+                SELECT MIN(gpy * {world} + gpx) AS component, COUNT(*) AS n_px,
+                       MIN(gpx) AS c0, MAX(gpx) + 1 AS c1,
+                       MIN(gpy) AS r0, MAX(gpy) + 1 AS r1
+                FROM {_pixel_enum_sql(zoom, zid, wkbs[zid], pred)}
+              ), (
+                SELECT MIN(gpx) AS hc0, MAX(gpx) + 1 AS hc1,
+                       MIN(gpy) AS hr0, MAX(gpy) + 1 AS hr1
+                FROM {hole_enum}
+              )
+            """)
+        else:
+            parts.append(f"""
+              SELECT CAST({zid} AS BIGINT) AS value,
+                     component,
+                     CAST(1 AS INTEGER) AS n_rings,
+                     CAST(n_px AS DOUBLE) AS area_px,
+                     concat('POLYGON (', {outer_ring}, ')') AS wkt_px
+              FROM (
+                SELECT MIN(gpy * {world} + gpx) AS component, COUNT(*) AS n_px,
+                       MIN(gpx) AS c0, MAX(gpx) + 1 AS c1,
+                       MIN(gpy) AS r0, MAX(gpy) + 1 AS r1
+                FROM {_pixel_enum_sql(zoom, zid, wkbs[zid], pred)}
+              )
+            """)
+    return " UNION ALL ".join(parts)
+
+
 def zones_oracle_match_sql(page_rel: str = "pages", cols: str = "doc_id") -> str:
     """DuckDB SQL: all (page, zone_id) containment pairs as UNION ALL of
     per-zone predicate selects over `page_rel` (needs lat/lon columns)."""

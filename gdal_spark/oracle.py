@@ -66,17 +66,17 @@ def sql_tile_y_google(lat: str, zoom: int) -> str:
 
 def sql_pixel_rows(zoom: int, pages: str = "p") -> str:
     """Per-page (zoom,tx,ty,px,py) identical to operators/tiles.with_pixels
-    (google scheme). Emits a SELECT over `pages` (needs lat/lon)."""
+    (google scheme): tile = floored-global-pixel div 256, pixel = mod 256,
+    so px/py are always in range even for exact tile-boundary points.
+    Emits a SELECT over `pages` (needs lat/lon)."""
     gpx = f"CAST(FLOOR({sql_pixels(sql_mercator_x('lon'), zoom)}) AS BIGINT)"
     gpy = f"CAST(FLOOR({sql_pixels(sql_mercator_y('lat'), zoom)}) AS BIGINT)"
-    tx = sql_tile_x("lon", zoom)
-    ty_tms = sql_tile_y_tms("lat", zoom)
     return f"""
       SELECT CAST({zoom} AS INTEGER) AS zoom,
-             {tx} AS tx,
-             ({2**zoom - 1} - {ty_tms}) AS ty,
-             CAST({gpx} - {tx} * {TILE_SIZE} AS INTEGER) AS px,
-             CAST({TILE_SIZE - 1} - ({gpy} - {ty_tms} * {TILE_SIZE}) AS INTEGER) AS py
+             ({gpx} // {TILE_SIZE}) AS tx,
+             ({2**zoom - 1} - ({gpy} // {TILE_SIZE})) AS ty,
+             CAST({gpx} % {TILE_SIZE} AS INTEGER) AS px,
+             CAST({TILE_SIZE - 1} - ({gpy} % {TILE_SIZE}) AS INTEGER) AS py
       FROM {pages} WHERE lat IS NOT NULL
     """
 

@@ -20,8 +20,13 @@ EVENTS_SCHEMA = (
 )
 
 
-def events_stream(spark: SparkSession, path: str) -> DataFrame:
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+def events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    r = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(path)
 
 
 def windowed_counts(
@@ -36,12 +41,22 @@ def windowed_counts(
     )
 
 
-def run_to_memory(agg: DataFrame, name: str = "events_windows"):
-    """Drain all available input into an in-memory table (tests/demo)."""
+def run_to_memory(agg: DataFrame, name: str = "events_windows",
+                  output_mode: str = "append"):
+    """Drain all available input into an in-memory table (tests/demo).
+
+    output_mode='append' (default) exercises the documented watermark
+    semantics: only FINALIZED windows (window end <= watermark) are
+    emitted, and events later than the watermark are dropped. The
+    watermark only advances between micro-batches, so callers who want
+    finalized output must feed the source in several batches (e.g.
+    maxFilesPerTrigger=1). output_mode='complete' emits running totals
+    of every window and never drops late data — use for
+    stream-equals-batch comparisons."""
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .start()
     )
     q.processAllAvailable()
