@@ -89,7 +89,9 @@ def _pages_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _queries_df(spark: SparkSession, pts) -> DataFrame:
-    return spark.createDataFrame(pts, "query_id int, qlat double, qlon double")
+    from gdal_spark.session import local_df
+
+    return local_df(spark, pts, "query_id int, qlat double, qlon double")
 
 
 def _sql_values(pts) -> str:

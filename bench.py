@@ -100,6 +100,49 @@ def run_minhash_bench(spark, n_docs: int) -> dict:
     }
 
 
+def run_knn_bench(spark, n_pages: int = 1_000_000, n_queries: int = 500) -> dict:
+    """kNN crossover at scale: brute = |Q| x |pages| distance evals; cells
+    = ring-disk candidates only. At sf0.1 (5k pages) both are overhead-
+    bound; this measures the real asymmetry the cell index buys."""
+    from gdal_spark.operators import knn as KNN
+    from gdal_spark.operators.pages import synthetic_pages
+    from gdal_spark.session import local_df
+
+    pages = (
+        synthetic_pages(spark, n_pages)
+        .select("url", "lat", "lon")
+        .filter("lat IS NOT NULL")
+        .persist()
+    )
+    pages.count()  # materialize: measure the operator, not generation
+    from gdal_spark.operators.pages import HOTSPOTS
+
+    qpts = []
+    for i in range(n_queries):
+        name, lat_e7, lon_e7 = HOTSPOTS[i % len(HOTSPOTS)]
+        qpts.append(
+            (i, lat_e7 / 1e7 + ((i * 29) % 100) * 7.3e-4 + 1.7e-4,
+             lon_e7 / 1e7 + ((i * 53) % 100) * 9.1e-4 + 1.3e-4)
+        )
+    queries = local_df(spark, qpts, "query_id int, qlat double, qlon double")
+    out = {}
+    t0 = time.time()
+    KNN.knn_cells(pages, queries, 10, res=9, ring=3).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["knn_cells_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    KNN.knn_brute(pages, queries, 10, sample_bound=0.02).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["knn_brute_sec"] = round(time.time() - t0, 3)
+    out["knn_pages"] = n_pages
+    out["knn_queries"] = n_queries
+    out["knn_cells_speedup"] = round(out["knn_brute_sec"] / out["knn_cells_sec"], 2)
+    pages.unpersist()
+    return out
+
+
 def run_warp_bench(spark, size: int = 4096) -> dict:
     """Reference warp-bench shape (autotest/benchmark/test_gdalwarp.py:
     4096x4096 byte raster, reprojection, near & cubic) — here 3857->4326,
@@ -155,6 +198,7 @@ def main() -> None:
 
     pipe = run_pipeline(spark, n_bench)
     warp = run_warp_bench(spark, int(os.environ.get("WARP_BENCH_SIZE", "2048")))
+    knn = run_knn_bench(spark)
 
     out = {
         "metric": "headline-query wall time",
@@ -164,6 +208,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pipeline": pipe,
         "warp": warp,
+        "knn": knn,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }
     print(json.dumps(out))

@@ -17,3 +17,13 @@ from pyspark.sql import functions as F
 
 def once(col: Column) -> Column:
     return F.element_at(F.shuffle(F.array(col)), 1)
+
+
+def cheap_once(col: Column) -> Column:
+    """Same anti-inlining barrier at near-zero per-row cost:
+    `CASE WHEN rand() >= -1 THEN col END` is always-true but flagged
+    nondeterministic, and rand() stays inside whole-stage codegen (the
+    shuffle(array(col)) form allocates an array per row — measured 6x on
+    a 1M-row scan). Marks the column nullable; use `once` where the
+    stricter single-evaluation placement of a FILTER is the point."""
+    return F.when(F.rand(7) >= F.lit(-1.0), col)

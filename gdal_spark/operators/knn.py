@@ -54,44 +54,73 @@ def knn_brute(
     k: int,
     lat_col: str = "lat",
     lon_col: str = "lon",
+    sample_bound: float | None = None,
 ) -> DataFrame:
     """Exact kNN. queries: (query_id, qlat, qlon). Output: query_id, url,
     dist_m, rank (1..k). Broadcast-nested-loop join: no pages shuffle; the
-    re-rank is the salted two-phase top-k (|Q| * salt_parts tasks)."""
+    re-rank is the salted two-phase top-k (|Q| * salt_parts tasks).
+
+    sample_bound (0..1): threshold-refinement for large |Q| x |pages| —
+    without it, every candidate row rides the top-k shuffle. A first pass
+    over a `sample_bound` fraction computes each query's sample k-th
+    distance; the k-th distance in ANY subset is >= the true k-th
+    distance, so filtering the full scan to dist <= bound provably keeps
+    all true top-k while shuffling only ~k/sample_bound rows per query.
+    (Queries with < k sampled candidates get no bound — nothing is
+    dropped.) Distance evals stay O(|Q| x N) codegen either way; the
+    SHUFFLE drops from O(|Q| x N) to O(|Q| x k / sample_bound)."""
     p = pages.filter(F.col(lat_col).isNotNull())
-    cand = p.crossJoin(F.broadcast(queries)).withColumn(
-        "dist_m", haversine_m(F.col(lat_col), F.col(lon_col), F.col("qlat"), F.col("qlon"))
-    )
+
+    def cand_of(pp):
+        return pp.crossJoin(F.broadcast(queries)).withColumn(
+            "dist_m",
+            haversine_m(F.col(lat_col), F.col(lon_col), F.col("qlat"), F.col("qlon")),
+        )
+
+    cand = cand_of(p)
+    if sample_bound:
+        sk = _rerank(cand_of(p.sample(fraction=sample_bound, seed=7)), k)
+        bounds = sk.groupBy("query_id").agg(
+            F.max("dist_m").alias("_bound"), F.count(F.lit(1)).alias("_nb")
+        ).select(
+            "query_id",
+            F.when(F.col("_nb") >= k, F.col("_bound")).alias("_bound"),
+        )
+        cand = cand.join(F.broadcast(bounds), "query_id", "left").filter(
+            F.col("_bound").isNull() | (F.col("dist_m") <= F.col("_bound"))
+        )
     return _rerank(cand, k)
 
 
 def _ring_cells_df(queries: DataFrame, res: int, ring: int,
                    driver_threshold: int = 10_000) -> DataFrame:
-    """(query_id, qlat, qlon, cell) — one row per ring-disk cell. Small
-    query tables compute disks driver-side (numpy, no Arrow workers)."""
+    """(query_id, qlat, qlon, cell) — one row per ring-disk cell.
+
+    Local/small query tables compute disks driver-side and return a
+    single LocalRelation (no Spark job, no Arrow worker spin-up, no
+    join); large distributed ones go through a pandas_udf explode."""
     import numpy as np
 
     from pyspark.sql.types import ArrayType, LongType
 
     from ..kernels import hexcell as HX
 
-    n = queries.limit(driver_threshold + 1).count()
-    if n <= driver_threshold:
+    small = queries.isLocal() or queries.limit(driver_threshold + 1).count() <= driver_threshold
+    if small:
         rows = queries.select("query_id", "qlat", "qlon").collect()
-        if not rows:
-            return queries.sparkSession.createDataFrame(
-                [], "query_id int, cell long"
-            ).join(queries, "query_id")
-        qlat = np.array([r["qlat"] for r in rows])
-        qlon = np.array([r["qlon"] for r in rows])
+        qlat = np.array([r["qlat"] for r in rows] or [0.0])
+        qlon = np.array([r["qlon"] for r in rows] or [0.0])
         disks = HX.k_ring(HX.latlon_to_cell(qlat, qlon, res), ring)
         flat = [
-            (int(r["query_id"]), int(c))
+            (int(r["query_id"]), float(r["qlat"]), float(r["qlon"]), int(c))
             for r, disk in zip(rows, disks)
             for c in disk
         ]
-        cdf = queries.sparkSession.createDataFrame(flat, "query_id int, cell long")
-        return queries.join(F.broadcast(cdf), "query_id")
+        from ..session import local_df
+
+        return local_df(queries.sparkSession,
+            flat, "query_id int, qlat double, qlon double, cell long"
+        )
 
     @F.pandas_udf(ArrayType(LongType()))
     def ring_cells(qlat: pd.Series, qlon: pd.Series) -> pd.Series:

@@ -175,7 +175,9 @@ def _with_polys(zdf: DataFrame, driver_threshold: int = 2000) -> DataFrame:
     schema = StructType(
         [StructField("zone_id", LongType()), StructField("polys", SEGMENTS_SCHEMA)]
     )
-    pdf = spark.createDataFrame(
+    from ..session import local_df
+
+    pdf = local_df(spark,
         [(r["zone_id"], _polys_of(bytes(r["geometry"]))) for r in rows], schema
     )
     return zdf.join(F.broadcast(pdf), "zone_id")
@@ -207,7 +209,9 @@ def _zone_envelopes(zones: DataFrame, driver_threshold: int = 2000) -> DataFrame
         for r in rows
     ]
     spark = zones.sparkSession
-    edf = spark.createDataFrame(
+    from ..session import local_df
+
+    edf = local_df(spark,
         env, "zone_id long, minx double, miny double, maxx double, maxy double"
     )
     return zones.join(F.broadcast(edf), "zone_id")
@@ -294,7 +298,9 @@ def zone_cells(
             (r["zone_id"], [int(c) for c in _cover_of(bytes(r["geometry"]), res, max_cells)])
             for r in rows
         ]
-        cdf = spark.createDataFrame(cells, "zone_id long, cells array<long>")
+        from ..session import local_df
+
+        cdf = local_df(spark, cells, "zone_id long, cells array<long>")
         return zones.join(F.broadcast(cdf), "zone_id").withColumn(
             "cell", F.explode("cells")
         ).drop("cells")

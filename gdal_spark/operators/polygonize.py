@@ -185,7 +185,9 @@ def polygonize(
             parent.setdefault(q, q)
             _union(parent, p, q)
         mapping = [(lbl, _find(parent, lbl)) for lbl in parent]
-        mdf = labeled.sparkSession.createDataFrame(mapping, "label long, comp long")
+        from ..session import local_df
+
+        mdf = local_df(labeled.sparkSession, mapping, "label long, comp long")
     else:
         mdf = _distributed_min_label(edges, max_iters)
     edges.unpersist()

@@ -133,7 +133,9 @@ def zones_df(spark: SparkSession) -> DataFrame:
             StructField("geometry", BinaryType(), False),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    from ..session import local_df
+
+    return local_df(spark, rows, schema)
 
 
 def _pixel_enum_sql(zoom: int, zid: int, wkb_: bytes, pred: str) -> str:

@@ -44,6 +44,25 @@ def _ship_package(spark: SparkSession) -> None:
     spark.sparkContext.addPyFile(zip_path)
 
 
+def local_df(spark: SparkSession, rows, schema):
+    """createDataFrame that yields a LocalTableScan, not a pickled-RDD scan.
+
+    `spark.createDataFrame(list, schema)` plans as `Scan ExistingRDD`:
+    every broadcast/evaluation launches an RDD job that unpickles the
+    rows (measured 0.9-2.7s per join on this box vs 0.45s local). Routing
+    through pandas/Arrow produces a true LocalRelation. Falls back to the
+    list path for types Arrow can't convert (deeply nested structs)."""
+    import pandas as pd
+
+    if rows:
+        try:
+            pdf = pd.DataFrame(list(rows))
+            return spark.createDataFrame(pdf, schema)
+        except Exception:
+            pass
+    return spark.createDataFrame(rows, schema)
+
+
 def get_spark(
     app_name: str = "gdal-spark",
     master: str | None = None,

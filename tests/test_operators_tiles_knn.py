@@ -81,6 +81,20 @@ def test_knn_cells_matches_brute(spark, pages):
     assert brute == cells
 
 
+def test_knn_brute_sample_bound_exact(spark, pages):
+    """Threshold-refinement brute (sample_bound) must be EXACT: the
+    sampled k-th distance is an upper bound on the true k-th distance,
+    so no true neighbor is ever filtered."""
+    queries = spark.createDataFrame(
+        [(0, 40.7223, -74.0271), (1, 10.0171, -40.0213)],
+        "query_id int, qlat double, qlon double",
+    )
+    plain = KNN.knn_brute(pages, queries, 5).collect()
+    bounded = KNN.knn_brute(pages, queries, 5, sample_bound=0.3).collect()
+    key = lambda rows: {(r["query_id"], r["rank"]): r["url"] for r in rows}
+    assert key(plain) == key(bounded)
+
+
 def test_pip_strategies_agree(spark, pages):
     z = zones_df(spark)
     a = {(r["url"], r["zone_id"]) for r in pip_join_broadcast(pages, z).collect()}
