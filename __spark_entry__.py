@@ -523,6 +523,345 @@ def _hillshade_oracle() -> str:
     """
 
 
+# ----------------------------------------------- focal (DEM) family
+# Same synthetic raster + closed-form-oracle pattern as hillshade:
+# v(gx,gy) = ((gy*7 + gx*13) % 256), interior pixels only, SQL mirrors
+# kernels/dem.py op-for-op (apps/gdaldem_lib.cpp formulas).
+
+_DEG = 57.29577951308232  # 180/pi, numpy float64 repr
+
+
+def _focal_query(spark, op, out_col, round_dec=None, **kw):
+    from gdal_spark.operators import raster as R
+    from gdal_spark.operators.focal import focal
+
+    n = HILLSHADE_N
+    meta = R.RasterMeta(n, n, HILLSHADE_GT, "EPSG:3857", block=32)
+    out = focal(R.synthetic_raster(spark, meta), meta, op, **kw)
+    px = out.select("bx", "by", F.posexplode("block").alias("idx", "val")).select(
+        (F.col("bx") * 32 + F.col("idx") % 32).alias("gx"),
+        (F.col("by") * 32 + (F.col("idx") / 32).cast("int")).alias("gy"),
+        (F.round("val", round_dec) if round_dec is not None else F.col("val")).alias(out_col),
+    )
+    return px.filter(
+        (F.col("gx") > 0) & (F.col("gx") < n - 1)
+        & (F.col("gy") > 0) & (F.col("gy") < n - 1)
+    )
+
+
+def _v(dx, dy):
+    return f"(((gy + {dy}) * 7 + (gx + {dx}) * 13) % 256)"
+
+
+def _focal_oracle(value_sql: str, out_col: str, round_dec=None) -> str:
+    n = HILLSHADE_N
+    val = f"ROUND({value_sql}, {round_dec})" if round_dec is not None else value_sql
+    return f"""
+      SELECT CAST(x.range AS BIGINT) AS gx, CAST(y.range AS BIGINT) AS gy,
+             {val} AS {out_col}
+      FROM range(1, {n - 1}) x, range(1, {n - 1}) y
+    """
+
+
+def _horn_xy():
+    """Horn gradient SQL (kernels/dem.py horn_gradient op order)."""
+    ewres, nsres = HILLSHADE_GT[1], HILLSHADE_GT[5]
+    gx_e = (
+        f"((({_v(-1,-1)} + {_v(-1,0)} + {_v(-1,0)} + {_v(-1,1)})"
+        f" - ({_v(1,-1)} + {_v(1,0)} + {_v(1,0)} + {_v(1,1)})) * {1.0 / ewres!r})"
+    )
+    gy_e = (
+        f"((({_v(-1,1)} + {_v(0,1)} + {_v(0,1)} + {_v(1,1)})"
+        f" - ({_v(-1,-1)} + {_v(0,-1)} + {_v(0,-1)} + {_v(1,-1)})) * {1.0 / nsres!r})"
+    )
+    return gx_e, gy_e
+
+
+def q_slope(spark, sf_dir):
+    """gdaldem slope, Horn (apps/gdaldem_lib.cpp:1345)."""
+    return _focal_query(spark, "slope", "slope_deg", round_dec=6)
+
+
+def _slope_oracle():
+    gx_e, gy_e = _horn_xy()
+    return _focal_oracle(
+        f"(ATAN(SQRT({gx_e} * {gx_e} + {gy_e} * {gy_e}) / 8.0) * {_DEG!r})",
+        "slope_deg", 6,
+    )
+
+
+def q_aspect(spark, sf_dir):
+    """gdaldem aspect, azimuth convention (apps/gdaldem_lib.cpp:1415)."""
+    return _focal_query(spark, "aspect", "aspect_deg", round_dec=6)
+
+
+def _aspect_oracle():
+    dx = (
+        f"(({_v(1,-1)} + {_v(1,0)} + {_v(1,0)} + {_v(1,1)})"
+        f" - ({_v(-1,-1)} + {_v(-1,0)} + {_v(-1,0)} + {_v(-1,1)}))"
+    )
+    dy = (
+        f"(({_v(-1,1)} + {_v(0,1)} + {_v(0,1)} + {_v(1,1)})"
+        f" - ({_v(-1,-1)} + {_v(0,-1)} + {_v(0,-1)} + {_v(1,-1)}))"
+    )
+    a = f"(ATAN2(CAST({dy} AS DOUBLE), CAST(-{dx} AS DOUBLE)) * {_DEG!r})"
+    az = (
+        f"(CASE WHEN {a} < 0 THEN 90.0 - {a} "
+        f"WHEN {a} > 90.0 THEN 360.0 - {a} + 90.0 ELSE 90.0 - {a} END)"
+    )
+    return _focal_oracle(az, "aspect_deg", 6)
+
+
+def q_tri(spark, sf_dir):
+    """gdaldem TRI, Riley mean-|diff| (integer-exact, no rounding)."""
+    return _focal_query(spark, "tri", "tri")
+
+
+def _tri_oracle():
+    c = _v(0, 0)
+    terms = " + ".join(
+        f"ABS({_v(dx,dy)} - {c})"
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1) if not (dx == 0 and dy == 0)
+    )
+    return _focal_oracle(f"(({terms}) / 8.0)", "tri")
+
+
+def q_tpi(spark, sf_dir):
+    return _focal_query(spark, "tpi", "tpi")
+
+
+def _tpi_oracle():
+    c = _v(0, 0)
+    s = " + ".join(_v(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    return _focal_oracle(f"({c} - ((({s}) - {c}) / 8.0))", "tpi")
+
+
+def q_roughness(spark, sf_dir):
+    return _focal_query(spark, "roughness", "roughness")
+
+
+def _roughness_oracle():
+    vs = ", ".join(_v(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    return _focal_oracle(
+        f"(CAST(GREATEST({vs}) AS DOUBLE) - LEAST({vs}))", "roughness"
+    )
+
+
+# ----------------------------------------------- contour (marching squares)
+
+CONTOUR_N = 48
+CONTOUR_GT = (0.0, 1.0, 0.0, float(CONTOUR_N), 0.0, -1.0)
+CONTOUR_LEVELS = (10.25, 77.25, 120.75)
+
+
+def q_contour(spark, sf_dir):
+    """Marching-squares contour of the plane v = gx + 3*gy (alg/contour.cpp
+    semantics; values at pixel centers, linear edge interpolation). A
+    linear field crosses every square in exactly one of three cases, so
+    the oracle enumerates squares in SQL with the same interpolation op
+    order — segments are exact doubles (no transcendentals)."""
+    import numpy as np
+
+    from gdal_spark.operators import raster as R
+    from gdal_spark.operators.contour_op import contour
+
+    n = CONTOUR_N
+    arr = (
+        np.arange(n, dtype=np.float64)[None, :]
+        + 3.0 * np.arange(n, dtype=np.float64)[:, None]
+    )
+    blocks, meta = R.raster_from_array(spark, arr, CONTOUR_GT, "EPSG:3857", block=16)
+    return contour(blocks, meta, list(CONTOUR_LEVELS))
+
+
+def _contour_oracle() -> str:
+    n = CONTOUR_N
+    g0, g1, g3, g5 = CONTOUR_GT[0], CONTOUR_GT[1], CONTOUR_GT[3], CONTOUR_GT[5]
+
+    def geo(px, py):
+        return (f"({g0!r} + {px} * {g1!r})", f"({g3!r} + {py} * {g5!r})")
+
+    parts = []
+    for lv in CONTOUR_LEVELS:
+        zul = "(sx + 3 * sy)"
+        # crossing points, kernel op order (pa + t*(pb - pa), t=(L-za)/(zb-za))
+        left_y = f"((sy + 0.5) + (({lv!r} - {zul}) / 3.0) * ((sy + 1.5) - (sy + 0.5)))"
+        top_x = f"((sx + 0.5) + (({lv!r} - {zul}) / 1.0) * ((sx + 1.5) - (sx + 0.5)))"
+        right_y = f"((sy + 0.5) + (({lv!r} - ({zul} + 1)) / 3.0) * ((sy + 1.5) - (sy + 0.5)))"
+        bot_x = f"((sx + 0.5) + (({lv!r} - ({zul} + 3)) / 1.0) * ((sx + 1.5) - (sx + 0.5)))"
+        lx, ly = geo("(sx + 0.5)", left_y)
+        tx, ty = geo(top_x, "(sy + 0.5)")
+        rx, ry = geo("(sx + 1.5)", right_y)
+        bx, by = geo(bot_x, "(sy + 1.5)")
+        parts.append(f"""
+          SELECT CAST({lv!r} AS DOUBLE) AS level,
+                 CASE WHEN {lv!r} < {zul} + 1 THEN {lx}
+                      WHEN {lv!r} < {zul} + 3 THEN {lx} ELSE {bx} END AS x1,
+                 CASE WHEN {lv!r} < {zul} + 1 THEN {ly}
+                      WHEN {lv!r} < {zul} + 3 THEN {ly} ELSE {by} END AS y1,
+                 CASE WHEN {lv!r} < {zul} + 1 THEN {tx}
+                      WHEN {lv!r} < {zul} + 3 THEN {rx} ELSE {rx} END AS x2,
+                 CASE WHEN {lv!r} < {zul} + 1 THEN {ty}
+                      WHEN {lv!r} < {zul} + 3 THEN {ry} ELSE {ry} END AS y2
+          FROM (SELECT CAST(x.range AS DOUBLE) AS sx, CAST(y.range AS DOUBLE) AS sy
+                FROM range(0, {n - 1}) x, range(0, {n - 1}) y)
+          WHERE {lv!r} > {zul} AND {lv!r} < {zul} + 4
+        """)
+    return " UNION ALL ".join(parts)
+
+
+# ----------------------------------------------- warp bilinear / cubic
+
+
+def _warp_src_px(gxe: str, gye: str):
+    """SQL for fractional src pixel coords of dst pixel (gxe, gye) —
+    shared by the near/bilinear/cubic oracles AND (via F.expr) by the
+    Spark-side interior filters; mirrors kernels/warp.py exactly."""
+    from gdal_spark.kernels.geotransform import inv_geotransform
+
+    inv = inv_geotransform(WARP_SRC_GT)
+    g = WARP_DST_GT
+    lon = f"({g[0]!r} + ({gxe} + 0.5) * {g[1]!r} + ({gye} + 0.5) * {g[2]!r})"
+    lat = f"({g[3]!r} + ({gxe} + 0.5) * {g[4]!r} + ({gye} + 0.5) * {g[5]!r})"
+    mx = f"({lon} * {OR.ORIGIN_SHIFT!r} / 180.0)"
+    my = (
+        f"((LN(TAN((90.0 + {lat}) * {OR.PI!r} / 360.0)) / {OR.PI_OVER_180!r})"
+        f" * {OR.ORIGIN_SHIFT!r} / 180.0)"
+    )
+    sx = f"({inv[0]!r} + {mx} * {inv[1]!r})"
+    sy = f"({inv[3]!r} + {my} * {inv[5]!r})"
+    return sx, sy
+
+
+def _bilinear_interior_sql(gxe: str = "gx", gye: str = "gy") -> str:
+    n = WARP_N
+    sx, sy = _warp_src_px(gxe, gye)
+    ix = f"CAST(FLOOR({sx} - 0.5) AS BIGINT)"
+    iy = f"CAST(FLOOR({sy} - 0.5) AS BIGINT)"
+    return f"({ix} >= 0 AND {ix} <= {n - 2} AND {iy} >= 0 AND {iy} <= {n - 2})"
+
+
+def _cubic_interior_sql(gxe: str = "gx", gye: str = "gy") -> str:
+    n = WARP_N
+    sx, sy = _warp_src_px(gxe, gye)
+    ix = f"CAST(FLOOR({sx} - 0.5) AS BIGINT)"
+    iy = f"CAST(FLOOR({sy} - 0.5) AS BIGINT)"
+    return (
+        f"({ix} >= 1 AND {ix} <= {n - 3} AND {iy} >= 1 AND {iy} <= {n - 3})"
+    )
+
+
+def _q_warp_resampled(spark, resampling, interior_sql):
+    import numpy as np
+
+    from gdal_spark.operators import raster as R
+
+    n = WARP_N
+    arr = (
+        1000.0 * np.arange(n, dtype=np.float64)[:, None]
+        + np.arange(n, dtype=np.float64)[None, :]
+    )
+    blocks, src = R.raster_from_array(spark, arr, WARP_SRC_GT, "EPSG:3857", block=32)
+    dst = R.RasterMeta(n, n, WARP_DST_GT, "EPSG:4326", block=32)
+    out = R.warp(blocks, src, dst, resampling)
+    px = out.select("bx", "by", F.posexplode("block").alias("idx", "val")).select(
+        (F.col("bx") * 32 + F.col("idx") % 32).alias("gx"),
+        (F.col("by") * 32 + (F.col("idx") / 32).cast("int")).alias("gy"),
+        F.round("val", 4).alias("val"),
+    )
+    return px.filter(F.expr(interior_sql))
+
+
+def q_warp_bilinear(spark, sf_dir):
+    """GRA_Bilinear (gdalwarpkernel.cpp:2660 GWKBilinearResample4Sample),
+    interior pixels; oracle mirrors the weight math in SQL, rounded to
+    1e-4 (coordinate-transform last-ulp noise is ~1e-8 in value)."""
+    return _q_warp_resampled(spark, "bilinear", _bilinear_interior_sql())
+
+
+def q_warp_cubic(spark, sf_dir):
+    """GRA_Cubic Catmull-Rom (gdalwarpkernel.cpp:2820), interior pixels."""
+    return _q_warp_resampled(spark, "cubic", _cubic_interior_sql())
+
+
+def _warp_bilinear_oracle() -> str:
+    n = WARP_N
+    sx, sy = _warp_src_px("CAST(x.range AS BIGINT)", "CAST(y.range AS BIGINT)")
+    body = f"""
+      WITH px AS (
+        SELECT CAST(x.range AS BIGINT) AS gx, CAST(y.range AS BIGINT) AS gy,
+               {sx} AS sx, {sy} AS sy
+        FROM range(0, {n}) x, range(0, {n}) y
+      ), c AS (
+        SELECT gx, gy, sx, sy,
+               CAST(FLOOR(sx - 0.5) AS BIGINT) AS ix,
+               CAST(FLOOR(sy - 0.5) AS BIGINT) AS iy
+        FROM px
+      ), w AS (
+        SELECT gx, gy, ix, iy,
+               (1.5 - (sx - ix)) AS ratx, (1.5 - (sy - iy)) AS raty
+        FROM c
+        WHERE ix >= 0 AND ix <= {n - 2} AND iy >= 0 AND iy <= {n - 2}
+      )
+      SELECT gx, gy,
+             ROUND((
+               (1000.0 * iy + ix) * (ratx * raty)
+               + (1000.0 * iy + (ix + 1)) * ((1.0 - ratx) * raty)
+               + (1000.0 * (iy + 1) + ix) * (ratx * (1.0 - raty))
+               + (1000.0 * (iy + 1) + (ix + 1)) * ((1.0 - ratx) * (1.0 - raty))
+             ) / ((ratx * raty) + ((1.0 - ratx) * raty)
+                  + (ratx * (1.0 - raty)) + ((1.0 - ratx) * (1.0 - raty))), 4)
+               AS val
+      FROM w
+    """
+    return body
+
+
+def _warp_cubic_oracle() -> str:
+    n = WARP_N
+    sx, sy = _warp_src_px("CAST(x.range AS BIGINT)", "CAST(y.range AS BIGINT)")
+
+    def wexprs(t, pfx):
+        half = f"(0.5 * {t})"
+        three = f"(3.0 * {t})"
+        half2 = f"({half} * {t})"
+        return {
+            f"{pfx}0": f"({half} * (-1 + {t} * (2 - {t})))",
+            f"{pfx}1": f"(1 + {half2} * (-5 + {three}))",
+            f"{pfx}2": f"({half} * (1 + {t} * (4 - {three})))",
+            f"{pfx}3": f"({half2} * (-1 + {t}))",
+        }
+
+    wx = wexprs("dxf", "wx")
+    wy = wexprs("dyf", "wy")
+    wcols = ", ".join(f"{e} AS {k}" for k, e in {**wx, **wy}.items())
+    rows = []
+    for r in range(4):
+        cells = " + ".join(
+            f"wx{c} * (1000.0 * (iy + {r - 1}) + (ix + {c - 1}))" for c in range(4)
+        )
+        rows.append(f"wy{r} * ({cells})")
+    acc = " + ".join(rows)
+    return f"""
+      WITH px AS (
+        SELECT CAST(x.range AS BIGINT) AS gx, CAST(y.range AS BIGINT) AS gy,
+               {sx} AS sx, {sy} AS sy
+        FROM range(0, {n}) x, range(0, {n}) y
+      ), c AS (
+        SELECT gx, gy, sx, sy,
+               CAST(FLOOR(sx - 0.5) AS BIGINT) AS ix,
+               CAST(FLOOR(sy - 0.5) AS BIGINT) AS iy
+        FROM px
+      ), d AS (
+        SELECT gx, gy, ix, iy,
+               (sx - 0.5 - ix) AS dxf, (sy - 0.5 - iy) AS dyf
+        FROM c
+        WHERE ix >= 1 AND ix <= {n - 3} AND iy >= 1 AND iy <= {n - 3}
+      ), w AS (SELECT gx, gy, ix, iy, {wcols} FROM d)
+      SELECT gx, gy, ROUND({acc}, 4) AS val FROM w
+    """
+
+
 def q_zonal_metrics(spark, sf_dir):
     """gdalgrid data-metrics family (minimum/maximum/range/count,
     /root/reference/alg/gdalgrid.cpp:1033) as groupBy-cell aggregation."""
@@ -551,8 +890,9 @@ def q_events_json(spark, sf_dir):
 
 def q_geom_props(spark, sf_dir):
     """OGR special fields (OGR_GEOMETRY/OGR_GEOM_WKT/OGR_GEOM_AREA,
-    ogr/ogr_p.h:167-174) over the zones table. Rows-only check (WKB
-    source has no DuckDB-side table); kernel parity is pytest-pinned."""
+    ogr/ogr_p.h:167-174) over the zones table, checked against an
+    analytic golden parquet (tools/make_goldens.py; 1e-9 rounding for
+    summation-order ulp)."""
     from gdal_spark.operators.raster import centroid_of, wkt_of
 
     z = zones_df(spark)
@@ -560,9 +900,12 @@ def q_geom_props(spark, sf_dir):
         "zone_id",
         "name",
         wkt_of("geometry").alias("wkt"),
-        F.col("area").alias("geom_area"),
+        F.round(F.col("area"), 9).alias("geom_area"),
         centroid_of("geometry").alias("c"),
-    ).select("zone_id", "name", "wkt", "geom_area", "c.cx", "c.cy")
+    ).select(
+        "zone_id", "name", "wkt", "geom_area",
+        F.round("c.cx", 9).alias("cx"), F.round("c.cy", 9).alias("cy"),
+    )
 
 
 POLYGONIZE_ZONES = (102, 104, 105, 108, 109)
@@ -685,6 +1028,14 @@ _QUERIES = {
         "rollup": q_rollup,
         "ogr_join_chain": q_ogr_join_chain,
         "hillshade": q_hillshade,
+        "slope": q_slope,
+        "aspect": q_aspect,
+        "tri": q_tri,
+        "tpi": q_tpi,
+        "roughness": q_roughness,
+        "contour": q_contour,
+        "warp_bilinear": q_warp_bilinear,
+        "warp_cubic": q_warp_cubic,
         "zonal_metrics": q_zonal_metrics,
         "events_json": q_events_json,
         "geom_props": q_geom_props,
@@ -839,7 +1190,18 @@ def oracle_sql() -> dict[str, str]:
                   FROM pages WHERE lat IS NOT NULL)
             """
         ),
-        # s2_index: intentionally no oracle (bit-twiddling not SQL-economical)
+        # s2_index: golden-parquet oracle — an independent scalar S2
+        # implementation (tools/make_goldens.py: rotate/flip Hilbert walk,
+        # anchor + curve-adjacency validated) keyed by lattice position
+        "s2_index": _with_pages(
+            """
+            SELECT p.url, g.s2_l12, g.s2_l13, g.s2_l14, g.s2_l15, g.s2_l16
+            FROM pages p
+            JOIN read_parquet('/root/repo/goldens/s2_cells.parquet') g
+              ON p.lat_e7 = g.lat_e7 AND p.lon_e7 = g.lon_e7
+            WHERE p.lat IS NOT NULL
+            """
+        ),
         "tile_quadkey": _with_pages(
             f"""
             SELECT url,
@@ -875,6 +1237,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "hillshade": _hillshade_oracle(),
+        "slope": _slope_oracle(),
+        "aspect": _aspect_oracle(),
+        "tri": _tri_oracle(),
+        "tpi": _tpi_oracle(),
+        "roughness": _roughness_oracle(),
+        "contour": _contour_oracle(),
+        "warp_bilinear": _warp_bilinear_oracle(),
+        "warp_cubic": _warp_cubic_oracle(),
         "ogr_join_chain": f"""
             SELECT r.r_name, n.n_name, COUNT(*) AS n_suppliers,
                    CAST(SUM({OG.cents_sql('s.s_acctbal')}) AS BIGINT) AS sum_bal_cents
@@ -910,7 +1280,14 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_k
             FROM events GROUP BY 1
         """,
-        # geom_props: intentionally no oracle (no DuckDB-side WKB source)
+        # geom_props: golden-parquet oracle — analytic area/centroid from
+        # the zone literal coordinates (tools/make_goldens.py), rounded to
+        # 1e-9 (vectorized vs sequential summation last-ulp)
+        "geom_props": """
+            SELECT zone_id, name, wkt, ROUND(geom_area, 9) AS geom_area,
+                   ROUND(cx, 9) AS cx, ROUND(cy, 9) AS cy
+            FROM read_parquet('/root/repo/goldens/geom_props.parquet')
+        """,
         "events_window": f"""
             SELECT date_trunc('day', ts) AS day, event_type,
                    COUNT(*) AS n,

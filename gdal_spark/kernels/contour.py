@@ -19,10 +19,16 @@ def _interp(level, za, zb, pa, pb):
     return pa + t * (pb - pa)
 
 
-def contour_segments(arr: np.ndarray, level: float) -> np.ndarray:
+def contour_segments(
+    arr: np.ndarray, level: float, x_off: int = 0, y_off: int = 0
+) -> np.ndarray:
     """Segments (N, 4) [x1, y1, x2, y2] in pixel coords for one level.
 
     NaN corners suppress their squares (halo boundaries / nodata).
+    x_off/y_off: global pixel offset of arr[0,0] — applied BEFORE
+    interpolation so distributed (blocked) and whole-array runs produce
+    bit-identical coordinates (float addition is not associative;
+    shifting after interpolation differs in the last ulp).
     """
     z = np.asarray(arr, dtype=np.float64)
     h, w = z.shape
@@ -44,9 +50,9 @@ def contour_segments(arr: np.ndarray, level: float) -> np.ndarray:
     for y, x in zip(ys, xs):
         c = case[y, x]
         zul, zur, zll, zlr = ul[y, x], ur[y, x], ll[y, x], lr[y, x]
-        # corner center coords
-        x0, y0 = x + 0.5, y + 0.5
-        x1, y1 = x + 1.5, y + 1.5
+        # corner center coords (global; int + 0.5 is exact)
+        x0, y0 = (x + x_off) + 0.5, (y + y_off) + 0.5
+        x1, y1 = (x + x_off) + 1.5, (y + y_off) + 1.5
         # edge crossing points (left, right, top, bottom of the square)
         def top():
             return (_interp(level, zul, zur, x0, x1), y0)

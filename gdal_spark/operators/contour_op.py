@@ -71,15 +71,11 @@ def contour(blocks: DataFrame, meta: RasterMeta, levels: list[float]) -> DataFra
             ]
         rows = []
         for level in levels:
-            segs = contour_segments(pad, level)
+            segs = contour_segments(pad, level, x_off=x0g, y_off=y0g)
             if len(segs) == 0:
                 continue
-            px1 = segs[:, 0] + x0g
-            py1 = segs[:, 1] + y0g
-            px2 = segs[:, 2] + x0g
-            py2 = segs[:, 3] + y0g
-            gx1, gy1 = apply_geotransform(gt, px1, py1)
-            gx2, gy2 = apply_geotransform(gt, px2, py2)
+            gx1, gy1 = apply_geotransform(gt, segs[:, 0], segs[:, 1])
+            gx2, gy2 = apply_geotransform(gt, segs[:, 2], segs[:, 3])
             for a, b, c, d in zip(gx1, gy1, gx2, gy2):
                 rows.append((float(level), float(a), float(b), float(c), float(d)))
         return pd.DataFrame(
