@@ -751,7 +751,7 @@ def _cubic_interior_sql(gxe: str = "gx", gye: str = "gy") -> str:
     )
 
 
-def _q_warp_resampled(spark, resampling, interior_sql):
+def _q_warp_resampled(spark, resampling, interior_sql, round_dec=4):
     import numpy as np
 
     from gdal_spark.operators import raster as R
@@ -767,7 +767,7 @@ def _q_warp_resampled(spark, resampling, interior_sql):
     px = out.select("bx", "by", F.posexplode("block").alias("idx", "val")).select(
         (F.col("bx") * 32 + F.col("idx") % 32).alias("gx"),
         (F.col("by") * 32 + (F.col("idx") / 32).cast("int")).alias("gy"),
-        F.round("val", 4).alias("val"),
+        F.round("val", round_dec).alias("val"),
     )
     return px.filter(F.expr(interior_sql))
 
@@ -859,6 +859,264 @@ def _warp_cubic_oracle() -> str:
         WHERE ix >= 1 AND ix <= {n - 3} AND iy >= 1 AND iy <= {n - 3}
       ), w AS (SELECT gx, gy, ix, iy, {wcols} FROM d)
       SELECT gx, gy, ROUND({acc}, 4) AS val FROM w
+    """
+
+
+# -------------------------------------------- warp box (area) resamplers
+
+
+def _warp_src_corner(gxe: str, gye: str):
+    """SQL src pixel coords of dst pixel CORNER (gxe, gye) — the box
+    resamplers transform corners, not centers (GWKAverageOrModeThread
+    padfX/padfX2)."""
+    from gdal_spark.kernels.geotransform import inv_geotransform
+
+    inv = inv_geotransform(WARP_SRC_GT)
+    g = WARP_DST_GT
+    lon = f"({g[0]!r} + ({gxe}) * {g[1]!r} + ({gye}) * {g[2]!r})"
+    lat = f"({g[3]!r} + ({gxe}) * {g[4]!r} + ({gye}) * {g[5]!r})"
+    mx = f"({lon} * {OR.ORIGIN_SHIFT!r} / 180.0)"
+    my = (
+        f"((LN(TAN((90.0 + {lat}) * {OR.PI!r} / 360.0)) / {OR.PI_OVER_180!r})"
+        f" * {OR.ORIGIN_SHIFT!r} / 180.0)"
+    )
+    return (
+        f"({inv[0]!r} + {mx} * {inv[1]!r})",
+        f"({inv[3]!r} + {my} * {inv[5]!r})",
+    )
+
+
+def _q_warp_box(spark, op):
+    import numpy as np
+
+    from gdal_spark.operators import raster as R
+
+    n = WARP_N
+    arr = (
+        1000.0 * np.arange(n, dtype=np.float64)[:, None]
+        + np.arange(n, dtype=np.float64)[None, :]
+    )
+    blocks, src = R.raster_from_array(spark, arr, WARP_SRC_GT, "EPSG:3857", block=32)
+    dst = R.RasterMeta(n, n, WARP_DST_GT, "EPSG:4326", block=32, nodata=-1.0)
+    out = R.warp(blocks, src, dst, op)
+    return (
+        out.select("bx", "by", F.posexplode("block").alias("idx", "val"))
+        .select(
+            (F.col("bx") * 32 + F.col("idx") % 32).alias("gx"),
+            (F.col("by") * 32 + (F.col("idx") / 32).cast("int")).alias("gy"),
+            "val",
+        )
+        .filter(F.col("val") != -1.0)
+        .select("gx", "gy", F.round("val", 0 if op == "sum" else 4).alias("val"))
+    )
+
+
+def q_warp_average(spark, sf_dir):
+    """GRA_Average — coverage-weighted box mean (gdalwarpkernel.cpp:6502
+    GWKAverageOrModeThread, COMPUTE_WEIGHT macros)."""
+    return _q_warp_box(spark, "average")
+
+
+def q_warp_rms(spark, sf_dir):
+    return _q_warp_box(spark, "rms")
+
+
+def q_warp_cubicspline(spark, sf_dir):
+    """GRA_CubicSpline — cubic B-spline basis, renormalized
+    (gdalwarpkernel.cpp GWKBSpline); interior pixels."""
+    return _q_warp_resampled(
+        spark, "cubicspline", _cubic_interior_sql(), round_dec=2
+    )
+
+
+def _warp_cubicspline_oracle() -> str:
+    n = WARP_N
+    sx, sy = _warp_src_px("CAST(x.range AS BIGINT)", "CAST(y.range AS BIGINT)")
+
+    def bs(x):
+        xp2, xp1, xm1 = f"({x} + 2.0)", f"({x} + 1.0)", f"({x} - 1.0)"
+        t1 = f"(CASE WHEN {xm1} > 0.0 THEN -4.0 * {xm1} * {xm1} * {xm1} ELSE 0.0 END)"
+        t2 = f"(CASE WHEN {x} > 0.0 THEN {t1} + 6.0 * {x} * {x} * {x} ELSE 0.0 END)"
+        t3 = f"(CASE WHEN {xp1} > 0.0 THEN {t2} + -4.0 * {xp1} * {xp1} * {xp1} ELSE 0.0 END)"
+        return f"(CASE WHEN {xp2} > 0.0 THEN {t3} + {xp2} * {xp2} * {xp2} ELSE 0.0 END)"
+
+    wxs = {f"wx{c + 1}": bs(f"(dxf - ({c}))") for c in range(-1, 3)}
+    wys = {f"wy{r + 1}": bs(f"(dyf - ({r}))") for r in range(-1, 3)}
+    wcols = ", ".join(f"{e} AS {k}" for k, e in {**wxs, **wys}.items())
+    acc_terms, wsum_terms = [], []
+    for r in range(4):
+        for c in range(4):
+            acc_terms.append(
+                f"wy{r} * wx{c} * (1000.0 * (iy + {r - 1}) + (ix + {c - 1}))"
+            )
+            wsum_terms.append(f"wy{r} * wx{c}")
+    return f"""
+      WITH px AS (
+        SELECT CAST(x.range AS BIGINT) AS gx, CAST(y.range AS BIGINT) AS gy,
+               {sx} AS sx, {sy} AS sy
+        FROM range(0, {n}) x, range(0, {n}) y
+      ), c AS (
+        SELECT gx, gy,
+               CAST(FLOOR(sx - 0.5) AS BIGINT) AS ix,
+               CAST(FLOOR(sy - 0.5) AS BIGINT) AS iy,
+               (sx - 0.5 - FLOOR(sx - 0.5)) AS dxf,
+               (sy - 0.5 - FLOOR(sy - 0.5)) AS dyf
+        FROM px
+        WHERE FLOOR(sx - 0.5) >= 1 AND FLOOR(sx - 0.5) <= {n - 3}
+          AND FLOOR(sy - 0.5) >= 1 AND FLOOR(sy - 0.5) <= {n - 3}
+      ), w AS (SELECT gx, gy, ix, iy, {wcols} FROM c)
+      SELECT gx, gy,
+             ROUND(({" + ".join(acc_terms)}) / ({" + ".join(wsum_terms)}), 2)
+               AS val
+      FROM w
+    """
+
+
+def q_warp_lanczos(spark, sf_dir):
+    """GRA_Lanczos — sinc(x)sinc(x/3), 6x6 taps, renormalized
+    (gdalwarpkernel.cpp:3383 GWKLanczosSinc); interior pixels."""
+    return _q_warp_resampled(spark, "lanczos", _lanczos_interior_sql(), round_dec=2)
+
+
+def _lanczos_interior_sql(gxe: str = "gx", gye: str = "gy") -> str:
+    n = WARP_N
+    sx, sy = _warp_src_px(gxe, gye)
+    ix = f"CAST(FLOOR({sx} - 0.5) AS BIGINT)"
+    iy = f"CAST(FLOOR({sy} - 0.5) AS BIGINT)"
+    return f"({ix} >= 2 AND {ix} <= {n - 4} AND {iy} >= 2 AND {iy} <= {n - 4})"
+
+
+def _warp_lanczos_oracle() -> str:
+    n = WARP_N
+    sx, sy = _warp_src_px("CAST(x.range AS BIGINT)", "CAST(y.range AS BIGINT)")
+
+    def lz(t):
+        # mirror the kernel's sin(3x) identity formulation exactly
+        pix = f"({OR.PI!r} * {t})"
+        pior = f"({pix} / 3.0)"
+        p2or = f"({pix} * {pior})"
+        s = f"SIN({pior})"
+        s2 = f"({s} * {s})"
+        return (
+            f"(CASE WHEN {t} = 0.0 THEN 1.0 "
+            f"ELSE ((3.0 - 4.0 * {s2}) * {s2}) / {p2or} END)"
+        )
+
+    wxs = {f"wx{c + 2}": lz(f"(dxf - ({c}))") for c in range(-2, 4)}
+    wys = {f"wy{r + 2}": lz(f"(dyf - ({r}))") for r in range(-2, 4)}
+    wcols = ", ".join(f"{e} AS {k}" for k, e in {**wxs, **wys}.items())
+    acc_terms = []
+    wsum_terms = []
+    for r in range(6):
+        for c in range(6):
+            acc_terms.append(
+                f"wy{r} * wx{c} * (1000.0 * (iy + {r - 2}) + (ix + {c - 2}))"
+            )
+            wsum_terms.append(f"wy{r} * wx{c}")
+    return f"""
+      WITH px AS (
+        SELECT CAST(x.range AS BIGINT) AS gx, CAST(y.range AS BIGINT) AS gy,
+               {sx} AS sx, {sy} AS sy
+        FROM range(0, {n}) x, range(0, {n}) y
+      ), c AS (
+        SELECT gx, gy,
+               CAST(FLOOR(sx - 0.5) AS BIGINT) AS ix,
+               CAST(FLOOR(sy - 0.5) AS BIGINT) AS iy,
+               (sx - 0.5 - FLOOR(sx - 0.5)) AS dxf,
+               (sy - 0.5 - FLOOR(sy - 0.5)) AS dyf
+        FROM px
+        WHERE FLOOR(sx - 0.5) >= 2 AND FLOOR(sx - 0.5) <= {n - 4}
+          AND FLOOR(sy - 0.5) >= 2 AND FLOOR(sy - 0.5) <= {n - 4}
+      ), w AS (SELECT gx, gy, ix, iy, {wcols} FROM c)
+      SELECT gx, gy,
+             ROUND(({" + ".join(acc_terms)}) / ({" + ".join(wsum_terms)}), 2)
+               AS val
+      FROM w
+    """
+
+
+def q_warp_sum(spark, sf_dir):
+    return _q_warp_box(spark, "sum")
+
+
+def q_warp_min(spark, sf_dir):
+    return _q_warp_box(spark, "min")
+
+
+def q_warp_max(spark, sf_dir):
+    return _q_warp_box(spark, "max")
+
+
+def q_warp_med(spark, sf_dir):
+    """GRA_Med — quantile index ceil(q*n - 1) over the sorted box set."""
+    return _q_warp_box(spark, "med")
+
+
+def q_warp_q1(spark, sf_dir):
+    return _q_warp_box(spark, "q1")
+
+
+def q_warp_q3(spark, sf_dir):
+    return _q_warp_box(spark, "q3")
+
+
+def _warp_box_oracle(op: str) -> str:
+    n = WARP_N
+    sxA, syA = _warp_src_corner("gxr", "gyr")
+    sxB, syB = _warp_src_corner("(gxr + 1.0)", "(gyr + 1.0)")
+    agg = {
+        "average": "ROUND(SUM(v * w) / SUM(w), 4)",
+        "rms": "ROUND(SQRT(SUM(v * v * w) / SUM(w)), 4)",
+        # sum is unnormalized, so coordinate-transform last-ulp noise in
+        # the edge weights scales with box value (~2e-5 absolute): round
+        # to integers (values ~5e4, still 5 significant digits checked)
+        "sum": "ROUND(SUM(v * w), 0)",
+        "min": "ROUND(MIN(v), 4)",
+        "max": "ROUND(MAX(v), 4)",
+        "med": "ROUND(list_sort(list(v))[CAST(CEIL(0.5 * COUNT(*) - 1) AS BIGINT) + 1], 4)",
+        "q1": "ROUND(list_sort(list(v))[CAST(CEIL(0.25 * COUNT(*) - 1) AS BIGINT) + 1], 4)",
+        "q3": "ROUND(list_sort(list(v))[CAST(CEIL(0.75 * COUNT(*) - 1) AS BIGINT) + 1], 4)",
+    }[op]
+    return f"""
+      WITH px AS (
+        SELECT CAST(x.range AS BIGINT) AS gx, CAST(y.range AS BIGINT) AS gy,
+               CAST(x.range AS DOUBLE) AS gxr, CAST(y.range AS DOUBLE) AS gyr
+        FROM range(0, {n}) x, range(0, {n}) y
+      ), corners AS (
+        SELECT gx, gy,
+               LEAST({sxA}, {sxB}) AS xmn, GREATEST({sxA}, {sxB}) AS xmx,
+               LEAST({syA}, {syB}) AS ymn, GREATEST({syA}, {syB}) AS ymx
+        FROM px
+      ), box AS (
+        SELECT gx, gy, xmn, xmx, ymn, ymx,
+               CAST(GREATEST(FLOOR(xmn + 1e-10), 0.0) AS BIGINT) AS x0,
+               CAST(LEAST(CEIL(xmx - 1e-10), {n}.0) AS BIGINT) AS x1p,
+               CAST(GREATEST(FLOOR(ymn + 1e-10), 0.0) AS BIGINT) AS y0,
+               CAST(LEAST(CEIL(ymx - 1e-10), {n}.0) AS BIGINT) AS y1p
+        FROM corners
+        WHERE xmx > -1e-10 AND xmn < {n} + 1e-10
+          AND ymx > -1e-10 AND ymn < {n} + 1e-10
+      ), box2 AS (
+        SELECT gx, gy, xmn, xmx, ymn, ymx, x0, y0,
+               CASE WHEN x0 = x1p AND x1p < {n} THEN x1p + 1 ELSE x1p END AS x1,
+               CASE WHEN y0 = y1p AND y1p < {n} THEN y1p + 1 ELSE y1p END AS y1
+        FROM box
+      ), cells AS (
+        SELECT b.gx, b.gy,
+               (x0 + dx.range) AS sxi, (y0 + dy.range) AS syi,
+               (1000.0 * (y0 + dy.range) + (x0 + dx.range)) AS v,
+               (CASE WHEN y1 - y0 = 1 THEN 1.0
+                     WHEN (y0 + dy.range) = y0 THEN 1 - (ymn - y0)
+                     WHEN (y0 + dy.range) + 1 = y1 THEN 1 - (y1 - ymx)
+                     ELSE 1.0 END)
+               * (CASE WHEN x1 - x0 = 1 THEN 1.0
+                       WHEN (x0 + dx.range) = x0 THEN 1 - (xmn - x0)
+                       WHEN (x0 + dx.range) + 1 = x1 THEN 1 - (x1 - xmx)
+                       ELSE 1.0 END) AS w
+        FROM box2 b, range(0, 8) dx, range(0, 8) dy
+        WHERE x0 + dx.range < x1 AND y0 + dy.range < y1
+      )
+      SELECT gx, gy, {agg} AS val FROM cells GROUP BY gx, gy
     """
 
 
@@ -1036,6 +1294,16 @@ _QUERIES = {
         "contour": q_contour,
         "warp_bilinear": q_warp_bilinear,
         "warp_cubic": q_warp_cubic,
+        "warp_cubicspline": q_warp_cubicspline,
+        "warp_lanczos": q_warp_lanczos,
+        "warp_average": q_warp_average,
+        "warp_rms": q_warp_rms,
+        "warp_sum": q_warp_sum,
+        "warp_min": q_warp_min,
+        "warp_max": q_warp_max,
+        "warp_med": q_warp_med,
+        "warp_q1": q_warp_q1,
+        "warp_q3": q_warp_q3,
         "zonal_metrics": q_zonal_metrics,
         "events_json": q_events_json,
         "geom_props": q_geom_props,
@@ -1245,6 +1513,16 @@ def oracle_sql() -> dict[str, str]:
         "contour": _contour_oracle(),
         "warp_bilinear": _warp_bilinear_oracle(),
         "warp_cubic": _warp_cubic_oracle(),
+        "warp_cubicspline": _warp_cubicspline_oracle(),
+        "warp_lanczos": _warp_lanczos_oracle(),
+        "warp_average": _warp_box_oracle("average"),
+        "warp_rms": _warp_box_oracle("rms"),
+        "warp_sum": _warp_box_oracle("sum"),
+        "warp_min": _warp_box_oracle("min"),
+        "warp_max": _warp_box_oracle("max"),
+        "warp_med": _warp_box_oracle("med"),
+        "warp_q1": _warp_box_oracle("q1"),
+        "warp_q3": _warp_box_oracle("q3"),
         "ogr_join_chain": f"""
             SELECT r.r_name, n.n_name, COUNT(*) AS n_suppliers,
                    CAST(SUM({OG.cents_sql('s.s_acctbal')}) AS BIGINT) AS sum_bal_cents

@@ -49,6 +49,11 @@ def dst_pixel_to_src_pixel(px, py, dst_gt, dst_crs, src_gt, src_crs):
     return apply_geotransform(inv, sx, sy)
 
 
+BOX_RESAMPLERS = (
+    "average", "rms", "sum", "min", "max", "med", "q1", "q3", "mode"
+)
+
+
 def warp_block(
     src: np.ndarray,
     src_gt,
@@ -60,6 +65,8 @@ def warp_block(
     dst_nodata: float = 0.0,
     src_x0: int = 0,
     src_y0: int = 0,
+    src_total_w: int | None = None,
+    src_total_h: int | None = None,
 ) -> np.ndarray:
     """Warp one dst block from a (partial) src mosaic.
 
@@ -111,6 +118,86 @@ def warp_block(
         ok = div > 0
         out[ok] = acc[ok] / div[ok]
         return out
+    if resampling == "cubicspline":
+        # GWKBSpline (gdalwarpkernel.cpp): unnormalized cubic B-spline
+        # basis over the 4x4 neighborhood, renormalized by the accumulated
+        # weight (GWKResample); out-of-raster taps are skipped.
+        ix = np.floor(rx - 0.5).astype(np.int64)
+        iy = np.floor(ry - 0.5).astype(np.int64)
+        dxf = rx - 0.5 - ix
+        dyf = ry - 0.5 - iy
+
+        def bspline(x):
+            xp2 = x + 2.0
+            xp1 = x + 1.0
+            xm1 = x - 1.0
+            t1 = np.where(xm1 > 0.0, -4.0 * xm1 * xm1 * xm1, 0.0)
+            t2 = np.where(x > 0.0, t1 + 6.0 * x * x * x, 0.0)
+            t3 = np.where(xp1 > 0.0, t2 + -4.0 * xp1 * xp1 * xp1, 0.0)
+            return np.where(xp2 > 0.0, t3 + xp2 * xp2 * xp2, 0.0)
+
+        acc = np.zeros(dst_shape, dtype=np.float64)
+        wsum = np.zeros(dst_shape, dtype=np.float64)
+        for r in range(-1, 3):
+            wy = bspline(dyf - r)
+            cy = iy + r
+            for c in range(-1, 3):
+                wx = bspline(dxf - c)
+                cx = ix + c
+                inb = (cx >= 0) & (cx < sw) & (cy >= 0) & (cy < sh)
+                wgt = wx * wy
+                val = np.zeros(dst_shape, dtype=np.float64)
+                val[inb] = src[cy[inb], cx[inb]]
+                acc += np.where(inb, val * wgt, 0.0)
+                wsum += np.where(inb, wgt, 0.0)
+        ok = wsum > 1e-6
+        out[ok] = acc[ok] / wsum[ok]
+        return out
+    if resampling == "lanczos":
+        # GWKLanczosSinc (gdalwarpkernel.cpp:3383): L(x) = sinc(x)sinc(x/3),
+        # radius 3 (6x6 taps), computed with the reference's
+        # sin(3x) = 3sin(x) - 4sin^3(x) identity; out-of-raster taps are
+        # skipped and the accumulated weight renormalizes (GWKResample).
+        ix = np.floor(rx - 0.5).astype(np.int64)
+        iy = np.floor(ry - 0.5).astype(np.int64)
+        dxf = rx - 0.5 - ix
+        dyf = ry - 0.5 - iy
+
+        def lanczos(t):
+            pix = np.pi * t
+            pix_over_r = pix / 3.0
+            pix2_over_r = pix * pix_over_r
+            s = np.sin(pix_over_r)
+            s2 = s * s
+            num = (3.0 - 4.0 * s2) * s2
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out_w = num / pix2_over_r
+            return np.where(t == 0.0, 1.0, out_w)
+
+        acc = np.zeros(dst_shape, dtype=np.float64)
+        wsum = np.zeros(dst_shape, dtype=np.float64)
+        for r in range(-2, 4):
+            wy = lanczos(dyf - r)
+            cy = iy + r
+            for c in range(-2, 4):
+                wx = lanczos(dxf - c)
+                cx = ix + c
+                inb = (cx >= 0) & (cx < sw) & (cy >= 0) & (cy < sh)
+                wgt = wx * wy
+                val = np.zeros(dst_shape, dtype=np.float64)
+                val[inb] = src[cy[inb], cx[inb]]
+                acc += np.where(inb, val * wgt, 0.0)
+                wsum += np.where(inb, wgt, 0.0)
+        ok = wsum > 1e-6
+        out[ok] = acc[ok] / wsum[ok]
+        return out
+    if resampling in BOX_RESAMPLERS:
+        return _box_resample(
+            src, src_gt, src_crs, dst_shape, dst_gt, dst_crs, resampling,
+            dst_nodata, src_x0, src_y0,
+            src_total_w if src_total_w is not None else src_x0 + sw,
+            src_total_h if src_total_h is not None else src_y0 + sh,
+        )
     if resampling == "cubic":
         # GWKCubicResample4Sample (gdalwarpkernel.cpp:2820): Catmull-Rom
         # separable convolution over the 4x4 neighborhood; pixels whose
@@ -149,6 +236,97 @@ def warp_block(
         out = np.where(interior, acc, bil)
         return out
     raise ValueError(f"unsupported resampling {resampling}")
+
+
+def _box_resample(
+    src, src_gt, src_crs, dst_shape, dst_gt, dst_crs, resampling,
+    dst_nodata, src_x0, src_y0, total_w, total_h,
+) -> np.ndarray:
+    """Area resamplers GRA_Average/RMS/Sum/Min/Max/Med/Q1/Q3/Mode
+    (/root/reference/alg/gdalwarpkernel.cpp:6502 GWKAverageOrModeThread):
+    for each dst pixel, transform its two opposite CORNERS to source
+    pixel space, take the source box [floor(min+eps), ceil(max-eps))
+    (clamped to the raster; degenerate box widened by one), and reduce:
+
+      * average/rms/sum — weighted by partial edge coverage
+        (COMPUTE_WEIGHT / COMPUTE_WEIGHT_Y macros);
+      * min/max — plain extrema over the box set;
+      * med/q1/q3 — sort, index ceil(q*n - 1);
+      * mode — the reference's running-argmax over coverage-weighted
+        counts (ties keep the incumbent, so the winner is the last value
+        to STRICTLY exceed the max — replicated exactly, scan order
+        y-then-x).
+    """
+    h, w = dst_shape
+    jj, ii = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    ax, ay = dst_pixel_to_src_pixel(
+        ii.astype(np.float64), jj.astype(np.float64), dst_gt, dst_crs, src_gt, src_crs
+    )
+    bx, by = dst_pixel_to_src_pixel(
+        ii + 1.0, jj + 1.0, dst_gt, dst_crs, src_gt, src_crs
+    )
+    xmin, xmax = np.minimum(ax, bx), np.maximum(ax, bx)
+    ymin, ymax = np.minimum(ay, by), np.maximum(ay, by)
+    EPS = 1e-10
+    out = np.full(dst_shape, float(dst_nodata), dtype=np.float64)
+    q = {"med": 0.5, "q1": 0.25, "q3": 0.75}.get(resampling)
+    for j in range(h):
+        for i in range(w):
+            dxm, dxM = xmin[j, i], xmax[j, i]
+            dym, dyM = ymin[j, i], ymax[j, i]
+            if not (dxM > -EPS and dxm < total_w + EPS):
+                continue
+            if not (dyM > -EPS and dym < total_h + EPS):
+                continue
+            x0 = int(max(np.floor(dxm + EPS), 0.0))
+            x1 = int(min(np.ceil(dxM - EPS), total_w))
+            if x0 == x1 and x1 < total_w:
+                x1 += 1
+            y0 = int(max(np.floor(dym + EPS), 0.0))
+            y1 = int(min(np.ceil(dyM - EPS), total_h))
+            if y0 == y1 and y1 < total_h:
+                y1 += 1
+            if x1 <= x0 or y1 <= y0:
+                continue
+            # window-relative slice (window always covers the box, by
+            # construction of src_window_for_dst_block)
+            vals = src[y0 - src_y0 : y1 - src_y0, x0 - src_x0 : x1 - src_x0]
+            if vals.size == 0:
+                continue
+            if resampling in ("min", "max"):
+                out[j, i] = vals.max() if resampling == "max" else vals.min()
+                continue
+            if q is not None:
+                flat = np.sort(vals.ravel())
+                out[j, i] = flat[int(np.ceil(q * flat.size - 1))]
+                continue
+            # coverage weights (COMPUTE_WEIGHT_Y / COMPUTE_WEIGHT)
+            wy = np.ones(y1 - y0)
+            if y1 - y0 > 1:
+                wy[0] = 1 - (dym - y0)
+                wy[-1] = 1 - (y1 - dyM)
+            wx = np.ones(x1 - x0)
+            if x1 - x0 > 1:
+                wx[0] = 1 - (dxm - x0)
+                wx[-1] = 1 - (x1 - dxM)
+            wgt = wy[:, None] * wx[None, :]
+            tw = wgt.sum()
+            if resampling == "average":
+                out[j, i] = (vals * wgt).sum() / tw
+            elif resampling == "rms":
+                out[j, i] = np.sqrt((vals * vals * wgt).sum() / tw)
+            elif resampling == "sum":
+                out[j, i] = (vals * wgt).sum()
+            else:  # mode: running argmax, ties keep incumbent
+                counts: dict = {}
+                best_v, best_c = None, -1.0
+                for vv, ww_ in zip(vals.ravel(), wgt.ravel()):
+                    c = counts.get(vv, 0.0) + ww_
+                    counts[vv] = c
+                    if c > best_c:
+                        best_v, best_c = vv, c
+                out[j, i] = best_v
+    return out
 
 
 def src_window_for_dst_block(

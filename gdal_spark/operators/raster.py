@@ -201,6 +201,7 @@ def warp(
         out = WK.warp_block(
             mosaic, src_gt, src_crs, (dh, dw), dst_block_gt, dst_crs,
             resampling, nodata, src_x0=x0, src_y0=y0,
+            src_total_w=src_w, src_total_h=src_h,
         )
         return pd.DataFrame(
             {

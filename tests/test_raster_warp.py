@@ -122,3 +122,49 @@ def test_byte_tif_checksum_golden(spark):
         spark, pixels.astype(np.float64), GT_UTM, "EPSG:32611", block=16
     )
     assert R.raster_checksum(blocks, meta) == 4672
+
+
+def test_warp_mode_and_box_downsample(spark):
+    """GRA_Mode majority + GRA_Average on an aligned 2x downsample
+    (identity CRS): boxes are exact 2x2 blocks, so average = block mean
+    and mode = majority value (ties impossible with 3+1 splits)."""
+    import numpy as np
+
+    from gdal_spark.operators import raster as R
+
+    # 8x8: 2x2 blocks of a dominant value with one dissenting pixel
+    src_arr = np.zeros((8, 8))
+    for by in range(4):
+        for bx in range(4):
+            v = 10.0 * (by * 4 + bx)
+            src_arr[2 * by : 2 * by + 2, 2 * bx : 2 * bx + 2] = v
+            src_arr[2 * by, 2 * bx] = v + 4.0  # minority (1 of 4)... tie!
+    # avoid 2-2 ties: make the dissent only in one corner of each block
+    src_arr[::2, ::2] = src_arr[1::2, 1::2]  # revert: all 4 equal
+    for by in range(4):
+        for bx in range(4):
+            src_arr[2 * by, 2 * bx] = 10.0 * (by * 4 + bx) + 4.0  # 1 vs 3
+    gt_src = (0.0, 1.0, 0.0, 8.0, 0.0, -1.0)
+    gt_dst = (0.0, 2.0, 0.0, 8.0, 0.0, -2.0)
+    blocks, src = R.raster_from_array(spark, src_arr, gt_src, "EPSG:3857", block=4)
+    dst = R.RasterMeta(4, 4, gt_dst, "EPSG:3857", block=4, nodata=-1.0)
+
+    def vals(resampling):
+        rows = R.warp(blocks, src, dst, resampling).collect()
+        out = np.full((4, 4), np.nan)
+        for r in rows:
+            a = np.array(r["block"]).reshape(r["h"], r["w"])
+            out[r["by"] * 4 : r["by"] * 4 + r["h"],
+                r["bx"] * 4 : r["bx"] * 4 + r["w"]] = a
+        return out
+
+    mode = vals("mode")
+    avg = vals("average")
+    mn, mx = vals("min"), vals("max")
+    for by in range(4):
+        for bx in range(4):
+            v = 10.0 * (by * 4 + bx)
+            assert mode[by, bx] == v  # majority 3-of-4
+            assert abs(avg[by, bx] - (v + 1.0)) < 1e-9  # (3v + v+4)/4
+            assert mn[by, bx] == v
+            assert mx[by, bx] == v + 4.0
