@@ -29,6 +29,7 @@ from gdal_spark.operators.pages import (
 from gdal_spark.operators.pip_join import pip_join_broadcast, pip_join_bucketed
 from gdal_spark.operators.zones import (
     zones_df,
+    zones_fishnet_oracle_sql,
     zones_oracle_match_sql,
     zones_polygonize_oracle_sql,
     zones_polygonize_wkt_oracle_sql,
@@ -1135,6 +1136,116 @@ def q_zonal_metrics(spark, sf_dir):
     )
 
 
+# ------------------------------------------------ gdal_grid interpolation
+
+GRID_SPEC = dict(x0=-0.23, y0=51.39, dx=0.012, dy=0.012, nx=20, ny=20)
+GRID_RADIUS = 0.025
+
+
+def _grid_points(spark, sf_dir):
+    p = _pages(spark, sf_dir).filter(F.col("lat").isNotNull())
+    return p.select(
+        F.col("lon").alias("x"), F.col("lat").alias("y"),
+        ((F.col("lat_e7") + F.col("lon_e7")) % 100000).cast("double").alias("v"),
+    )
+
+
+def _grid_oracle_prefix() -> str:
+    g = GRID_SPEC
+    r = GRID_RADIUS
+    return f"""
+        , pts AS (
+          SELECT lon AS px, lat AS py,
+                 CAST((lat_e7 + lon_e7) % 100000 AS DOUBLE) AS pv
+          FROM pages WHERE lat IS NOT NULL
+        ), nodes AS (
+          SELECT x.range AS ix, y.range AS iy,
+                 {g['x0']!r} + x.range * {g['dx']!r} AS nxx,
+                 {g['y0']!r} + y.range * {g['dy']!r} AS nyy
+          FROM range(0, {g['nx']}) x, range(0, {g['ny']}) y
+        ), cand AS (
+          SELECT ix, iy, pv,
+                 (px - nxx) * (px - nxx) + (py - nyy) * (py - nyy) AS d2
+          FROM nodes, pts
+          WHERE (px - nxx) * (px - nxx) + (py - nyy) * (py - nyy)
+                <= {r * r!r}
+        )
+    """
+
+
+def q_grid_invdist(spark, sf_dir):
+    """GDALGridInverseDistanceToAPower (alg/gdalgrid.cpp:109), power=2 —
+    rational weights 1/(d^2), all whole-stage codegen."""
+    from gdal_spark.operators.gridding import grid_invdist
+
+    out = grid_invdist(
+        _grid_points(spark, sf_dir), radius=GRID_RADIUS, **GRID_SPEC
+    )
+    return out.select("ix", "iy", F.round("value", 4).alias("value"), "n_points")
+
+
+def q_grid_average(spark, sf_dir):
+    """GDALGridMovingAverage (alg/gdalgrid.cpp:629)."""
+    from gdal_spark.operators.gridding import grid_average
+
+    out = grid_average(
+        _grid_points(spark, sf_dir), radius=GRID_RADIUS, **GRID_SPEC
+    )
+    return out.select("ix", "iy", F.round("value", 4).alias("value"), "n_points")
+
+
+def q_grid_nearest(spark, sf_dir):
+    """GDALGridNearestNeighbor (alg/gdalgrid.cpp:879) — d2 is pure
+    rational arithmetic, so values AND distances compare exactly."""
+    from gdal_spark.operators.gridding import grid_nearest
+
+    out = grid_nearest(
+        _grid_points(spark, sf_dir), radius=GRID_RADIUS, **GRID_SPEC
+    )
+    return out.select("ix", "iy", "value", F.round("d2", 10).alias("d2"))
+
+
+def _grid_invdist_oracle() -> str:
+    from gdal_spark.operators.gridding import EPS2
+
+    return _with_pages(
+        _grid_oracle_prefix()
+        + f"""
+        SELECT ix, iy,
+               ROUND(CASE WHEN MIN(d2) < {EPS2!r}
+                          THEN MIN(CASE WHEN d2 < {EPS2!r} THEN pv END)
+                          ELSE SUM(pv * (1.0 / d2)) / SUM(1.0 / d2) END, 4)
+                 AS value,
+               COUNT(*) AS n_points
+        FROM cand GROUP BY ix, iy
+        """
+    )
+
+
+def _grid_average_oracle() -> str:
+    return _with_pages(
+        _grid_oracle_prefix()
+        + """
+        SELECT ix, iy, ROUND(SUM(pv) / COUNT(*), 4) AS value,
+               COUNT(*) AS n_points
+        FROM cand GROUP BY ix, iy
+        """
+    )
+
+
+def _grid_nearest_oracle() -> str:
+    return _with_pages(
+        _grid_oracle_prefix()
+        + """
+        SELECT ix, iy, pv AS value, ROUND(d2, 10) AS d2 FROM (
+          SELECT ix, iy, pv, d2,
+                 ROW_NUMBER() OVER (PARTITION BY ix, iy ORDER BY d2, pv) AS rn
+          FROM cand
+        ) WHERE rn = 1
+        """
+    )
+
+
 def q_events_json(spark, sf_dir):
     """JSON prop extraction (OGR JSON field subtype superset)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1168,6 +1279,23 @@ def q_geom_props(spark, sf_dir):
 
 POLYGONIZE_ZONES = (102, 104, 105, 108, 109)
 POLYGONIZE_ZOOM = 8
+
+OVERLAY_ZONES = (101, 102, 104, 105, 107, 108, 109)  # axis-aligned
+OVERLAY_CELL = 0.05
+
+
+def q_overlay_fishnet(spark, sf_dir):
+    """Layer-algebra Intersection vs a fishnet grid (ogrlayer.cpp:3345
+    nested-loop semantics as a cell-keyed two-phase join + exact
+    Sutherland-Hodgman rect clip); oracle is the closed-form signed-rect
+    overlap. Triangle zone is pytest-covered (non-axis-aligned)."""
+    from gdal_spark.operators.overlay import fishnet_overlay
+
+    z = zones_df(spark).filter(F.col("zone_id").isin(list(OVERLAY_ZONES)))
+    out = fishnet_overlay(z, OVERLAY_CELL)
+    return out.select(
+        "zone_id", "fx", "fy", F.round("area", 9).alias("area")
+    )
 
 
 def q_polygonize(spark, sf_dir):
@@ -1276,6 +1404,7 @@ _QUERIES = {
         "polygonize": q_polygonize,
         "polygonize_polys": q_polygonize_polys,
         "footprint": q_footprint,
+        "overlay_fishnet": q_overlay_fishnet,
         "warp_near": q_warp_near,
         "hex_index": q_hex_index,
         "s2_index": q_s2_index,
@@ -1305,6 +1434,9 @@ _QUERIES = {
         "warp_q1": q_warp_q1,
         "warp_q3": q_warp_q3,
         "zonal_metrics": q_zonal_metrics,
+        "grid_invdist": q_grid_invdist,
+        "grid_average": q_grid_average,
+        "grid_nearest": q_grid_nearest,
         "events_json": q_events_json,
         "geom_props": q_geom_props,
         "events_window": q_events_window,
@@ -1440,6 +1572,7 @@ def oracle_sql() -> dict[str, str]:
         "polygonize_polys": zones_polygonize_wkt_oracle_sql(
             POLYGONIZE_ZOOM, POLYGONIZE_ZONES
         ),
+        "overlay_fishnet": zones_fishnet_oracle_sql(OVERLAY_CELL, OVERLAY_ZONES),
         "footprint": f"""
             SELECT component, n_rings, area_px, wkt_px FROM (
               {zones_polygonize_wkt_oracle_sql(POLYGONIZE_ZOOM, POLYGONIZE_ZONES)}
@@ -1551,6 +1684,9 @@ def oracle_sql() -> dict[str, str]:
             FROM pages WHERE lat IS NOT NULL GROUP BY 1, 2, 3
             """
         ),
+        "grid_invdist": _grid_invdist_oracle(),
+        "grid_average": _grid_average_oracle(),
+        "grid_nearest": _grid_nearest_oracle(),
         "events_json": """
             SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
                    COUNT(*) AS n,

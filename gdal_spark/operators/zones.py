@@ -271,6 +271,61 @@ def zones_polygonize_wkt_oracle_sql(zoom: int, zone_ids) -> str:
     return " UNION ALL ".join(parts)
 
 
+def zone_rect_terms() -> dict[int, list[tuple[tuple, int]]]:
+    """Axis-aligned decomposition of each zone into signed rectangles
+    (outer +1, hole -1) — the analytic ground truth for rect-clip
+    overlays. Triangle zone 103 excluded (not axis-aligned)."""
+    outer104 = (-46.8001, -23.7001, -46.4001, -23.4001)
+    hole104 = (-46.7001, -23.6001, -46.6001, -23.5001)
+    ra = (77.1001, 28.5001, 77.3001, 28.7101)
+    rb = (76.9001, 28.3001, 77.0501, 28.4501)
+    terms = {
+        101: [((-74.1001, 40.6001, -73.9001, 40.8001), 1)],
+        102: [((-0.2201, 51.4001, 0.0199, 51.6001), 1)],
+        104: [(outer104, 1), (hole104, -1)],
+        105: [(ra, 1), (rb, 1)],
+        106: [((-40.005, 10.005, -20.005, 30.005), 1)],
+        107: [((-74.0001, 40.7001, -73.9961, 40.7041), 1)],
+        108: [((179.005, -20.005, 179.995, 10.005), 1)],
+        109: [((-179.995, -20.005, -179.005, 10.005), 1)],
+        110: [((-179.995, -5.005, 179.995, 5.005), 1)],
+    }
+    return terms
+
+
+def zones_fishnet_oracle_sql(cell: float, zone_ids) -> str:
+    """Closed-form DuckDB oracle for fishnet_overlay: intersection area of
+    each signed zone rectangle with each touched fishnet cell, summed per
+    (zone, cell), kept where > 0."""
+    parts = []
+    for zid, terms in zone_rect_terms().items():
+        if zid not in zone_ids:
+            continue
+        for (minx, miny, maxx, maxy), sign in terms:
+            w = (
+                f"(LEAST({maxx!r}, (fx + 1) * {cell!r}) - "
+                f"GREATEST({minx!r}, fx * {cell!r}))"
+            )
+            h = (
+                f"(LEAST({maxy!r}, (fy + 1) * {cell!r}) - "
+                f"GREATEST({miny!r}, fy * {cell!r}))"
+            )
+            parts.append(f"""
+              SELECT CAST({zid} AS BIGINT) AS zone_id, fx, fy,
+                     {sign} * GREATEST({w}, 0.0) * GREATEST({h}, 0.0) AS a
+              FROM (SELECT x.range AS fx, y.range AS fy
+                    FROM range(CAST(FLOOR({minx!r} / {cell!r}) AS BIGINT),
+                               CAST(FLOOR({maxx!r} / {cell!r}) AS BIGINT) + 1) x,
+                         range(CAST(FLOOR({miny!r} / {cell!r}) AS BIGINT),
+                               CAST(FLOOR({maxy!r} / {cell!r}) AS BIGINT) + 1) y)
+            """)
+    return f"""
+      SELECT zone_id, fx, fy, ROUND(SUM(a), 9) AS area
+      FROM ({" UNION ALL ".join(parts)})
+      GROUP BY zone_id, fx, fy HAVING SUM(a) > 0
+    """
+
+
 def zones_oracle_match_sql(page_rel: str = "pages", cols: str = "doc_id") -> str:
     """DuckDB SQL: all (page, zone_id) containment pairs as UNION ALL of
     per-zone predicate selects over `page_rel` (needs lat/lon columns)."""
