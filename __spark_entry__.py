@@ -199,7 +199,14 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    return DD.simhash(DD.corpus_df(spark, sf_dir))
+    """64-bit simhash signatures (two exact 32-bit halves)."""
+    return DD.simhash64(DD.corpus_df(spark, sf_dir))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Hamming<=3 near-dup pairs via 4x16-bit band probing (exact by
+    pigeonhole); oracle runs the quadratic scan."""
+    return DD.simhash_hamming_pairs(DD.corpus_df(spark, sf_dir))
 
 
 def q_ann_brute(spark, sf_dir):
@@ -210,6 +217,14 @@ def q_ann_brute(spark, sf_dir):
 def q_ann_lsh(spark, sf_dir):
     e = _emb(spark, sf_dir)
     return SIM.ann_lsh(e, SIM.queries_subset(e), ANN_K)
+
+
+def q_ann_lsh_mp(spark, sf_dir):
+    """Parameterized multi-probe LSH (2^16 buckets, hamming-1 probes) —
+    the corpus-scalable variant of ann_lsh; recall vs brute is measured
+    in tests/test_ann_recall.py."""
+    e = _emb(spark, sf_dir)
+    return SIM.ann_lsh_mp(e, SIM.queries_subset(e), ANN_K)
 
 
 # ------------------------------------------- OGR SQL dialect semantics
@@ -1391,8 +1406,10 @@ _QUERIES = {
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ann_brute": q_ann_brute,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_mp": q_ann_lsh_mp,
         "ogr_summary": q_ogr_summary,
         "ogr_distinct": q_ogr_distinct,
         "ogr_first_match_join": q_ogr_first_match_join,
@@ -1516,9 +1533,12 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": TS.fingerprint_sql(),
         "dedup_exact": f"WITH corpus AS ({DD.corpus_cte_sql()}) {DD.dedup_exact_sql()}",
         "dedup_minhash": f"WITH corpus AS ({DD.corpus_cte_sql()}) {DD.lsh_pairs_sql()}",
-        "simhash": f"WITH corpus AS ({DD.corpus_cte_sql()}) {DD.simhash_sql()}",
+        "simhash": f"WITH corpus AS ({DD.corpus_cte_sql()}) {DD.simhash64_sql()}",
+        "simhash_pairs": f"WITH corpus AS ({DD.corpus_cte_sql()}) "
+                         f"{DD.simhash_hamming_pairs_sql()}",
         "ann_brute": SIM.ann_brute_sql(ANN_K),
         "ann_lsh": SIM.ann_lsh_sql(ANN_K),
+        "ann_lsh_mp": SIM.ann_lsh_mp_sql(ANN_K),
         "ogr_summary": f"""
             SELECT COUNT(*) AS n_rows,
                    COUNT(DISTINCT l_returnflag) AS n_flags,

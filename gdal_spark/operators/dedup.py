@@ -209,6 +209,17 @@ def lsh_pairs_sql(rel: str = "corpus", text_col: str = "text") -> str:
 
 
 # ------------------------------------------------------------------ simhash
+#
+# 64-bit signatures carried as two 32-bit halves (hi = md5 hex chars
+# 1-8, lo = chars 9-16): 64-bit integers don't fit double-safe bit
+# arithmetic and 16^15 overflows BIGINT, while 32-bit halves stay exact
+# in both engines. Near-dup candidates at hamming distance <= 3 come
+# from 4-band exact-match probing (16 bits per band): by pigeonhole any
+# pair within distance 3 shares at least one untouched band, so the
+# banded equi-join loses nothing vs the quadratic scan (which the DuckDB
+# oracle runs directly) — this replaces the earlier 16-bit whole-
+# signature equality join whose 65,536-value key space went quadratic
+# at corpus scale.
 
 _HEXMAP = "'0123456789abcdef'"
 
@@ -265,14 +276,112 @@ def simhash_sql(rel: str = "corpus", text_col: str = "text") -> str:
     """
 
 
-def simhash_pairs(corpus: DataFrame, text_col: str = "text") -> DataFrame:
-    """Docs sharing an identical simhash (hamming-0 candidates)."""
-    s = simhash(corpus, text_col)
-    a, b = s.alias("a"), s.alias("b")
-    return a.join(
-        b, (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(
-        F.col("a.doc_id").alias("id_a"),
-        F.col("b.doc_id").alias("id_b"),
-        F.col("a.simhash").alias("simhash"),
+def _tok_val32(tok: str, duck: bool, off: int) -> str:
+    """32 bits of md5(tok) as a BIGINT from hex chars off+1..off+8."""
+    pos = "strpos" if duck else "instr"
+    parts = [
+        f"(CAST({pos}({_HEXMAP}, substr(md5({tok}), {off + i + 1}, 1)) - 1 "
+        f"AS BIGINT) * {16 ** (7 - i)})"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _simhash32_expr(vals_col: str, duck: bool) -> str:
+    """32-bit simhash over precomputed per-token 32-bit ints."""
+    tf = "list_transform" if duck else "transform"
+    bits = []
+    for i in range(32):
+        vote = f"{tf}({vals_col}, v -> 2 * (CAST(FLOOR(v / {2 ** i}) AS BIGINT) % 2) - 1)"
+        total = (
+            f"list_sum({vote})" if duck
+            else f"aggregate({vote}, 0L, (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {total} > 0 THEN {2 ** i} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def simhash64(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id, sim_hi, sim_lo — 64-bit simhash as two 32-bit halves."""
+    from ..functions.barrier import once
+
+    t = f"split({text_col}, ' ')"
+    hi = f"transform({t}, tok -> {_tok_val32('tok', False, 0)})"
+    lo = f"transform({t}, tok -> {_tok_val32('tok', False, 8)})"
+    return (
+        corpus.withColumn("_th", once(F.expr(hi)))
+        .withColumn("_tl", once(F.expr(lo)))
+        .select(
+            "doc_id",
+            F.expr(_simhash32_expr("_th", False)).cast("long").alias("sim_hi"),
+            F.expr(_simhash32_expr("_tl", False)).cast("long").alias("sim_lo"),
+        )
     )
+
+
+def simhash64_sql(rel: str = "corpus", text_col: str = "text") -> str:
+    t = f"str_split({text_col}, ' ')"
+    hi = f"list_transform({t}, tok -> {_tok_val32('tok', True, 0)})"
+    lo = f"list_transform({t}, tok -> {_tok_val32('tok', True, 8)})"
+    return f"""
+      SELECT doc_id,
+             CAST({_simhash32_expr('_th', True)} AS BIGINT) AS sim_hi,
+             CAST({_simhash32_expr('_tl', True)} AS BIGINT) AS sim_lo
+      FROM (SELECT doc_id, {hi} AS _th, {lo} AS _tl FROM {rel})
+    """
+
+
+def simhash_hamming_pairs(
+    corpus: DataFrame, max_dist: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs at 64-bit hamming distance <= max_dist (<= 3 with
+    the 4x16-bit bands: pigeonhole guarantees one exact band match).
+    Output: id_a < id_b, hamming. The band join keys are 16-bit chunks,
+    so bucket population ~ n/65536 per band value at uniform hash —
+    candidates scale linearly, not with n^2."""
+    s = simhash64(corpus, text_col).persist()
+    bands = s.select(
+        "doc_id", "sim_hi", "sim_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.expr("shiftright(sim_hi, 16)").alias("bv")),
+                F.struct(F.lit(1).alias("band"), F.expr("sim_hi % 65536").alias("bv")),
+                F.struct(F.lit(2).alias("band"), F.expr("shiftright(sim_lo, 16)").alias("bv")),
+                F.struct(F.lit(3).alias("band"), F.expr("sim_lo % 65536").alias("bv")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "sim_hi", "sim_lo", "b.band", "b.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.expr(
+        "bit_count(CAST(a.sim_hi AS BIGINT) ^ CAST(b.sim_hi AS BIGINT))"
+        " + bit_count(CAST(a.sim_lo AS BIGINT) ^ CAST(b.sim_lo AS BIGINT))"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_dist)
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.min("hamming").alias("hamming"))
+    )
+
+
+def simhash_hamming_pairs_sql(
+    rel: str = "corpus", max_dist: int = 3, text_col: str = "text"
+) -> str:
+    """Quadratic-scan oracle for the banded join (exact, any distance)."""
+    return f"""
+      , sigs AS ({simhash64_sql(rel, text_col)})
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             (bit_count(xor(a.sim_hi, b.sim_hi))
+              + bit_count(xor(a.sim_lo, b.sim_lo))) AS hamming
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE (bit_count(xor(a.sim_hi, b.sim_hi))
+             + bit_count(xor(a.sim_lo, b.sim_lo))) <= {max_dist}
+    """

@@ -105,6 +105,93 @@ def ann_lsh(emb: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     return _rerank_cos(cand, k)
 
 
+def _mp_pairs(n_planes: int, dim: int, seed: int = 421):
+    """Deterministic coordinate-difference hyperplanes: plane j is the
+    direction e_a - e_b for a pseudo-random index pair (a, b) — a valid
+    sign-random-projection family that stays SQL-expressible on both
+    engines (no vector literals in the plan)."""
+    import random
+
+    rng = random.Random(seed)
+    pairs = []
+    while len(pairs) < n_planes:
+        a, b = rng.randrange(dim), rng.randrange(dim)
+        if a != b and (a, b) not in pairs:
+            pairs.append((a, b))
+    return pairs
+
+
+def _mp_bucket_expr(vec: str, pairs, duck: bool) -> str:
+    off = 1 if duck else 0
+    parts = [
+        f"(CASE WHEN {vec}[{a + off}] > {vec}[{b + off}] THEN {2 ** j} ELSE 0 END)"
+        for j, (a, b) in enumerate(pairs)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def ann_lsh_mp(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_planes: int = 16,
+    dim: int = 64,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Parameterized multi-probe LSH ANN.
+
+    n_planes scales the bucket count with the corpus (2^n_planes buckets;
+    pick n_planes ~ log2(n / target_bucket_size) so per-bucket population
+    stays constant as n grows — the fixed-256-bucket variant's candidates
+    were Θ(n) per query). probe_hamming=1 probes the query's bucket plus
+    every 1-bit-flip neighbor (n_planes+1 probes), trading a constant
+    fan-out for recall. Candidates per query ~ (n_planes+1) * n / 2^n_planes.
+    """
+    pairs = _mp_pairs(n_planes, dim)
+    e = emb.withColumn("bucket", F.expr(_mp_bucket_expr("embedding", pairs, False)).cast("long"))
+    q = queries.withColumn("bucket", F.expr(_mp_bucket_expr("qvec", pairs, False)))
+    probes = [F.col("bucket").cast("long")]
+    if probe_hamming >= 1:
+        probes += [
+            F.expr(f"CAST(bucket AS BIGINT) ^ {1 << j}") for j in range(n_planes)
+        ]
+    q = q.withColumn("bucket", F.explode(F.array(*probes)))
+    cand = e.join(F.broadcast(q), "bucket").withColumn(
+        "cos", F.expr(_cos_expr("embedding", "qvec"))
+    )
+    return _rerank_cos(cand, k)
+
+
+def ann_lsh_mp_sql(
+    k: int,
+    modulus: int = 50,
+    rel: str = "embeddings",
+    n_planes: int = 16,
+    dim: int = 64,
+    probe_hamming: int = 1,
+) -> str:
+    pairs = _mp_pairs(n_planes, dim)
+    b_e = _mp_bucket_expr("embedding", pairs, True)
+    cos = _cos_duck("e.embedding", "q.qvec")
+    flips = ["0"] + (
+        [str(1 << j) for j in range(n_planes)] if probe_hamming >= 1 else []
+    )
+    return f"""
+      WITH q0 AS (SELECT vec_id AS query_id, embedding AS qvec,
+                         {b_e.replace('embedding', 'embedding')} AS bucket0
+                  FROM {rel} WHERE vec_id % {modulus} = 0),
+      q AS (SELECT query_id, qvec, xor(bucket0, f.b) AS bucket
+            FROM q0, (SELECT UNNEST([{", ".join(flips)}]) AS b) f),
+      e AS (SELECT vec_id, embedding, {b_e} AS bucket FROM {rel})
+      SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos} DESC, e.vec_id) AS rank
+        FROM e JOIN q ON e.bucket = q.bucket
+      ) WHERE rank <= {k}
+    """
+
+
 def ann_lsh_sql(k: int, modulus: int = 50, rel: str = "embeddings") -> str:
     cos = _cos_duck("e.embedding", "q.qvec")
     return f"""
