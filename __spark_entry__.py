@@ -1151,6 +1151,139 @@ def q_zonal_metrics(spark, sf_dir):
     )
 
 
+# -------------------------------------------------------- proximity / sieve
+
+PROX_ZOOM = 10
+PROX_MAXDIST = 15.0
+PROX_PAD = 20
+
+
+def _prox_window():
+    """Global-pixel window around the sliver zone (107) at PROX_ZOOM."""
+    import numpy as np
+
+    from gdal_spark.functions.geo import ORIGIN_SHIFT
+    from gdal_spark.kernels.mercator import clip_lat, latlon_to_meters, resolution
+
+    res = resolution(PROX_ZOOM)
+    m_total = (1 << PROX_ZOOM) * 256
+    minx, miny, maxx, maxy = -74.0001, 40.7001, -73.9961, 40.7041
+    mx, my = latlon_to_meters(clip_lat(np.array([miny, maxy])), np.array([minx, maxx]))
+    gx0 = int((mx[0] + ORIGIN_SHIFT) / res) - PROX_PAD
+    gx1 = int((mx[1] + ORIGIN_SHIFT) / res) + PROX_PAD
+    gy0 = int(m_total - (my[1] + ORIGIN_SHIFT) / res) - PROX_PAD
+    gy1 = int(m_total - (my[0] + ORIGIN_SHIFT) / res) + PROX_PAD
+    return gx0, gy0, gx1 - gx0 + 1, gy1 - gy0 + 1
+
+
+def q_proximity(spark, sf_dir):
+    """GDALComputeProximity (alg/gdalproximity.cpp, DISTUNITS=PIXEL,
+    MAXDIST) around the rasterized sliver zone — exact euclidean pixel
+    distances via the bucketed neighborhood join; d2 is integer-exact
+    and dist = sqrt(d2) is a correctly-rounded IEEE op, so the oracle
+    compares exactly."""
+    from gdal_spark.operators.proximity import proximity
+    from gdal_spark.operators.rasterize_poly import rasterize_zones
+
+    z = zones_df(spark).filter(F.col("zone_id") == 107)
+    px = rasterize_zones(z, PROX_ZOOM)
+    targets = px.select(
+        (F.col("tx") * 256 + F.col("px")).alias("gx"),
+        (F.col("ty") * 256 + F.col("py")).alias("gy"),
+    )
+    gx0, gy0, nx, ny = _prox_window()
+    return proximity(targets, gx0, gy0, nx, ny, PROX_MAXDIST)
+
+
+def _proximity_oracle() -> str:
+    from gdal_spark.operators.zones import _pixel_enum_sql, _zone_specs
+
+    wkb_, pred = next(
+        (w, p) for zid, _, w, p in _zone_specs() if zid == 107
+    )
+    gx0, gy0, nx, ny = _prox_window()
+    r2 = PROX_MAXDIST * PROX_MAXDIST
+    return f"""
+      WITH t AS (SELECT gpx, gpy FROM {_pixel_enum_sql(PROX_ZOOM, 107, wkb_, pred)}),
+      w AS (SELECT x.range AS gx, y.range AS gy
+            FROM range({gx0}, {gx0 + nx}) x, range({gy0}, {gy0 + ny}) y)
+      SELECT gx, gy, CAST(MIN(d2) AS BIGINT) AS d2, SQRT(MIN(d2)) AS dist
+      FROM (
+        SELECT w.gx, w.gy,
+               CAST((w.gx - t.gpx) * (w.gx - t.gpx)
+                    + (w.gy - t.gpy) * (w.gy - t.gpy) AS DOUBLE) AS d2
+        FROM w, t
+      ) WHERE d2 <= {r2!r}
+      GROUP BY gx, gy
+    """
+
+
+def _sieve_patch_box():
+    """A 2x2 global-pixel box strictly inside zone 101 at PROX_ZOOM."""
+    import numpy as np
+
+    from gdal_spark.functions.geo import ORIGIN_SHIFT
+    from gdal_spark.kernels.mercator import latlon_to_meters, resolution
+
+    res = resolution(PROX_ZOOM)
+    m_total = (1 << PROX_ZOOM) * 256
+    mx, my = latlon_to_meters(np.array([40.7001]), np.array([-74.0001]))
+    cx = int((mx[0] + ORIGIN_SHIFT) / res) + 8
+    cy = int(m_total - (my[0] + ORIGIN_SHIFT) / res) - 8
+    return cx, cy
+
+
+def q_sieve(spark, sf_dir):
+    """GDALSieveFilter (alg/gdalsievefilter.cpp) over rasterized zones
+    with an injected 4-pixel foreign patch inside zone 101: the patch is
+    below the threshold and merges into its (only, large) neighbour,
+    while the isolated sliver zone 107 — also below the threshold but
+    with no neighbours — stays unchanged (reference rule :147). Exact
+    merge mechanics incl. tie order are checksum-pinned against the
+    reference autotest in tests/test_sieve.py; this query checks the
+    end state against an independent closed-form oracle."""
+    from gdal_spark.operators.rasterize_poly import rasterize_zones
+    from gdal_spark.operators.sieve import sieve
+
+    z = zones_df(spark).filter(F.col("zone_id").isin([101, 107]))
+    px = rasterize_zones(z, PROX_ZOOM).withColumnRenamed("zone_id", "value")
+    # zone 107 lies INSIDE zone 101: MERGE_ALG=REPLACE by feature order
+    # (alg/gdalrasterize.cpp:779-817) — later zone wins the pixel, so the
+    # sliver carves a 107-valued patch out of the 101 region
+    px = px.groupBy("zoom", "tx", "ty", "px", "py").agg(
+        F.max("value").alias("value")
+    )
+    cx, cy = _sieve_patch_box()
+    gx = F.col("tx") * 256 + F.col("px")
+    gy = F.col("ty") * 256 + F.col("py")
+    px = px.withColumn(
+        "value",
+        F.when(
+            gx.between(cx, cx + 1) & gy.between(cy, cy + 1), F.lit(999)
+        ).otherwise(F.col("value")),
+    )
+    out = sieve(px, threshold=50, zoom=PROX_ZOOM)
+    return out.groupBy("value").agg(
+        F.count(F.lit(1)).alias("n_pixels"),
+        F.min(F.col("tx") * 256 + F.col("px")).alias("min_gx"),
+    )
+
+
+def _sieve_oracle() -> str:
+    from gdal_spark.operators.zones import _pixel_enum_sql, _zone_specs
+
+    # both small patches (999 injected, 107 sliver) are enclosed by the
+    # big 101 region and merge into it => final raster is uniformly 101
+    # over 101's pixel set (sliver is interior to 101, so the union of
+    # rasterized pixels == 101's own enumeration)
+    wkb_, pred = next((w, p) for z, _, w, p in _zone_specs() if z == 101)
+    return f"""
+      SELECT CAST(101 AS BIGINT) AS value, COUNT(*) AS n_pixels,
+             MIN(gpx) AS min_gx
+      FROM {_pixel_enum_sql(PROX_ZOOM, 101, wkb_, pred)}
+    """
+
+
 # ------------------------------------------------ gdal_grid interpolation
 
 GRID_SPEC = dict(x0=-0.23, y0=51.39, dx=0.012, dy=0.012, nx=20, ny=20)
@@ -1451,6 +1584,8 @@ _QUERIES = {
         "warp_q1": q_warp_q1,
         "warp_q3": q_warp_q3,
         "zonal_metrics": q_zonal_metrics,
+        "proximity": q_proximity,
+        "sieve": q_sieve,
         "grid_invdist": q_grid_invdist,
         "grid_average": q_grid_average,
         "grid_nearest": q_grid_nearest,
@@ -1704,6 +1839,8 @@ def oracle_sql() -> dict[str, str]:
             FROM pages WHERE lat IS NOT NULL GROUP BY 1, 2, 3
             """
         ),
+        "proximity": _proximity_oracle(),
+        "sieve": _sieve_oracle(),
         "grid_invdist": _grid_invdist_oracle(),
         "grid_average": _grid_average_oracle(),
         "grid_nearest": _grid_nearest_oracle(),

@@ -1,0 +1,49 @@
+"""Sieve filter vs the reference autotest checksums
+(/root/reference/autotest/alg/sieve.py + data/*.grd): the sieved raster's
+GDALChecksumImage value must equal the reference's expected checksum."""
+
+import numpy as np
+
+from gdal_spark.kernels.checksum import checksum
+from gdal_spark.operators.sieve import sieve
+from tests.test_polygonize_rings import read_grd
+
+
+def _pixels_df(spark, grid, zoom=2):
+    rows = []
+    for r, line in enumerate(grid):
+        for c, v in enumerate(line):
+            rows.append((zoom, c // 256, r // 256, c % 256, r % 256, v))
+    return spark.createDataFrame(
+        rows, "zoom int, tx long, ty long, px int, py int, value long"
+    )
+
+
+def _sieved_array(spark, grid, threshold, connect8):
+    df = _pixels_df(spark, grid)
+    out = sieve(df, threshold, connect8=connect8).collect()
+    h, w = len(grid), len(grid[0])
+    arr = np.zeros((h, w), dtype=np.int64)
+    for r in out:
+        arr[r["ty"] * 256 + r["py"], r["tx"] * 256 + r["px"]] = r["value"]
+    return arr
+
+
+def test_sieve_reference_checksums(spark):
+    _, src = read_grd("/root/reference/autotest/alg/data/sieve_src.grd")
+    # test_sieve_1: threshold 2, 4-connected, no mask -> checksum 364
+    assert checksum(_sieved_array(spark, src, 2, False)) == 364
+    # test_sieve_2: threshold 2, 8-connected -> checksum 370
+    assert checksum(_sieved_array(spark, src, 2, True)) == 370
+
+
+def test_sieve_2634_checksum(spark):
+    # test_sieve_4: bug-2634 fixture, threshold 2, 4-connected -> 98
+    _, src = read_grd("/root/reference/autotest/alg/data/sieve_2634.grd")
+    assert checksum(_sieved_array(spark, src, 2, False)) == 98
+
+
+def test_sieve_unmergable_checksum(spark):
+    # test_sieve_3: unmergable chain fixture, threshold 2, 8-conn -> 451
+    _, src = read_grd("/root/reference/autotest/alg/data/unmergable.grd")
+    assert checksum(_sieved_array(spark, src, 2, True)) == 451
