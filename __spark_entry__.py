@@ -1151,6 +1151,125 @@ def q_zonal_metrics(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- geometry transforms
+
+
+def q_geom_convexhull(spark, sf_dir):
+    """ConvexHull (ogrgeometry.cpp:4188) of every zone; oracle is an
+    independent gift-wrapping hull over the same literal coordinates."""
+    from gdal_spark.operators.geom import convex_hull_wkb
+    from gdal_spark.operators.raster import wkt_of
+
+    z = zones_df(spark)
+    return z.select(
+        "zone_id", wkt_of(convex_hull_wkb(F.col("geometry"))).alias("hull_wkt")
+    )
+
+
+def _convexhull_oracle() -> str:
+    import math
+
+    from gdal_spark.kernels import wkb as W
+    from gdal_spark.operators.zones import _zone_specs
+
+    def gift_wrap(pts):
+        """Jarvis march, CCW from the lexicographic minimum — an
+        independent derivation of the same hull."""
+        pts = sorted(set(pts))
+        if len(pts) <= 2:
+            return pts + pts[:1]
+        hull = [pts[0]]
+        while True:
+            p = hull[-1]
+            cand = pts[0] if pts[0] != p else pts[1]
+            for q in pts:
+                if q == p:
+                    continue
+                cr = (cand[0] - p[0]) * (q[1] - p[1]) - (cand[1] - p[1]) * (q[0] - p[0])
+                if cr < 0 or (
+                    cr == 0
+                    and math.hypot(q[0] - p[0], q[1] - p[1])
+                    > math.hypot(cand[0] - p[0], cand[1] - p[1])
+                ):
+                    cand = q
+            if cand == hull[0]:
+                break
+            hull.append(cand)
+        # rotate to lexicographic min, keep CW->CCW orientation parity
+        k = min(range(len(hull)), key=lambda i: hull[i])
+        ring = hull[k:] + hull[:k]
+        # jarvis above walks clockwise when cr<0 picks right turns; make CCW
+        area2 = sum(
+            ring[i][0] * ring[(i + 1) % len(ring)][1]
+            - ring[(i + 1) % len(ring)][0] * ring[i][1]
+            for i in range(len(ring))
+        )
+        if area2 < 0:
+            ring = [ring[0]] + ring[1:][::-1]
+        ring.append(ring[0])
+        return ring
+
+    def fmt(v):
+        if float(v).is_integer():
+            return str(int(v))
+        return f"{v:.15g}"
+
+    rows = []
+    for zid, _, wkb_, _ in _zone_specs():
+        pts = [
+            (float(x), float(y))
+            for rings in W.decode_polygons(bytes(wkb_))
+            for ring in rings
+            for x, y in ring
+        ]
+        ring = gift_wrap(pts)
+        wkt = "POLYGON ((" + ",".join(f"{fmt(x)} {fmt(y)}" for x, y in ring) + "))"
+        rows.append(f"({zid}, '{wkt}')")
+    return (
+        "SELECT CAST(c0 AS BIGINT) AS zone_id, c1 AS hull_wkt FROM (VALUES "
+        + ", ".join(rows)
+        + ") t(c0, c1)"
+    )
+
+
+def q_geom_simplify(spark, sf_dir):
+    """Segmentize (max edge 0.01 deg) then Douglas-Peucker simplify
+    (ogrgeometry.cpp Segmentize / :6362 Simplify): round-trips back to
+    the original ring vertex sequence, checked against the geom_props
+    golden WKT."""
+    from gdal_spark.operators.geom import simplify_segmentize_wkb
+    from gdal_spark.operators.raster import wkt_of
+
+    z = zones_df(spark)
+    f = simplify_segmentize_wkb(1e-9, max_len=0.01)
+    return z.select("zone_id", wkt_of(f(F.col("geometry"))).alias("wkt"))
+
+
+def q_geom_buffer(spark, sf_dir):
+    """ST_Buffer of point geometries (8 quadrant segments), pure Column
+    math over the query fixture points; oracle mirrors the cos/sin ring."""
+    from gdal_spark.operators.geom import buffer_points
+
+    q = _queries_df(spark, KNN_QUERIES)
+    out = buffer_points(q, "qlon", "qlat", 0.1)
+    return out.select(
+        "query_id", "k",
+        F.round("vx", 9).alias("vx"), F.round("vy", 9).alias("vy"),
+    )
+
+
+def _buffer_oracle() -> str:
+    pts = _sql_values(KNN_QUERIES)
+    step = 2.0 * 3.141592653589793 / 32.0
+    return f"""
+      WITH q(query_id, qlat, qlon) AS ({pts})
+      SELECT query_id, CAST(k.range AS INTEGER) AS k,
+             ROUND(qlon + 0.1 * COS(CAST(k.range AS DOUBLE) * {step!r}), 9) AS vx,
+             ROUND(qlat + 0.1 * SIN(CAST(k.range AS DOUBLE) * {step!r}), 9) AS vy
+      FROM q, range(0, 32) k
+    """
+
+
 # -------------------------------------------------------- proximity / sieve
 
 PROX_ZOOM = 10
@@ -1586,6 +1705,9 @@ _QUERIES = {
         "zonal_metrics": q_zonal_metrics,
         "proximity": q_proximity,
         "sieve": q_sieve,
+        "geom_convexhull": q_geom_convexhull,
+        "geom_simplify": q_geom_simplify,
+        "geom_buffer": q_geom_buffer,
         "grid_invdist": q_grid_invdist,
         "grid_average": q_grid_average,
         "grid_nearest": q_grid_nearest,
@@ -1841,6 +1963,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "proximity": _proximity_oracle(),
         "sieve": _sieve_oracle(),
+        "geom_convexhull": _convexhull_oracle(),
+        "geom_simplify": """
+            SELECT zone_id, wkt
+            FROM read_parquet('/root/repo/goldens/geom_props.parquet')
+        """,
+        "geom_buffer": _buffer_oracle(),
         "grid_invdist": _grid_invdist_oracle(),
         "grid_average": _grid_average_oracle(),
         "grid_nearest": _grid_nearest_oracle(),

@@ -1,0 +1,113 @@
+"""Geometry transform kernels: convex hull, simplify (Douglas-Peucker),
+segmentize, point buffer.
+
+Re-expresses the reference's geometry-transform surface
+(/root/reference/ogr/ogrgeometry.cpp: ConvexHull :4188, Simplify :6362,
+Segmentize; sqlite dialect ST_Buffer ogrsqlitesqlfunctions.cpp:997):
+
+  * convex_hull — Andrew monotone chain (exact planar hull; the
+    reference delegates to GEOS, same mathematical hull);
+  * simplify — classic Douglas-Peucker (GEOSSimplify semantics: drop
+    vertices whose perpendicular distance from the chord is <= tol;
+    ring start/end vertices are anchored);
+  * segmentize — insert intermediate vertices so no segment exceeds
+    max_len (OGRGeometry::segmentize semantics);
+  * buffer_point — circular buffer approximated with 8 segments per
+    quadrant (GEOS default quadsegs), vertices at angles 2*pi*k/(4*qs)
+    counter-clockwise from +x (our documented convention; GEOS's
+    start/orientation differs but the vertex SET geometry matches the
+    same approximation).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def convex_hull(points) -> list:
+    """Monotone-chain hull of (x, y) points; returns CCW closed ring."""
+    pts = sorted(set((float(x), float(y)) for x, y in points))
+    if len(pts) <= 2:
+        return pts + pts[:1]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    ring = lower[:-1] + upper[:-1]
+    ring.append(ring[0])
+    return ring
+
+
+def _perp_dist(p, a, b) -> float:
+    ax, ay = a
+    bx, by = b
+    px, py = p
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    if L2 == 0.0:
+        return math.hypot(px - ax, py - ay)
+    return abs(dx * (py - ay) - dy * (px - ax)) / math.sqrt(L2)
+
+
+def simplify(line, tol: float) -> list:
+    """Douglas-Peucker on an open polyline or closed ring (first == last
+    kept as anchors)."""
+    pts = [(float(x), float(y)) for x, y in line]
+    if len(pts) <= 2:
+        return pts
+
+    def dp(i, j, keep):
+        if j <= i + 1:
+            return
+        dmax, imax = -1.0, None
+        for k in range(i + 1, j):
+            d = _perp_dist(pts[k], pts[i], pts[j])
+            if d > dmax:
+                dmax, imax = d, k
+        if dmax > tol:
+            keep.add(imax)
+            dp(i, imax, keep)
+            dp(imax, j, keep)
+
+    keep = {0, len(pts) - 1}
+    dp(0, len(pts) - 1, keep)
+    return [pts[k] for k in sorted(keep)]
+
+
+def segmentize(line, max_len: float) -> list:
+    """Insert evenly spaced intermediate vertices so every segment is
+    <= max_len (OGRGeometry::segmentize)."""
+    pts = [(float(x), float(y)) for x, y in line]
+    out = [pts[0]]
+    for a, b in zip(pts[:-1], pts[1:]):
+        d = math.hypot(b[0] - a[0], b[1] - a[1])
+        n = max(1, int(math.ceil(d / max_len)))
+        for k in range(1, n):
+            t = k / n
+            out.append((a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])))
+        out.append(b)
+    return out
+
+
+def buffer_point(x: float, y: float, radius: float, quadsegs: int = 8) -> list:
+    """Closed CCW circle approximation ring (4*quadsegs vertices)."""
+    n = 4 * quadsegs
+    ring = [
+        (x + radius * math.cos(2.0 * math.pi * k / n),
+         y + radius * math.sin(2.0 * math.pi * k / n))
+        for k in range(n)
+    ]
+    ring.append(ring[0])
+    return ring

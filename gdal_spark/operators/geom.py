@@ -1,0 +1,88 @@
+"""Vector geometry-transform operators over WKB columns.
+
+The reference surface (SURVEY.md §2.8 "Geometry transforms"):
+ConvexHull (ogrgeometry.cpp:4188), Simplify (:6362), Segmentize,
+ST_Buffer (ogrsqlitesqlfunctions.cpp:997). Kernels in
+kernels/geomops.py; here they lift to DataFrame operators:
+
+  * hulls/simplify/segmentize — pandas_udf over WKB (geometry-side work,
+    one Arrow pass; geometry tables are the small side of every join in
+    this engine);
+  * point buffers — pure Column math (sequence + cos/sin explode), fully
+    JVM, usable on the 10^12-row pages side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+from ..kernels import geomops as G
+from ..kernels import wkb as W
+
+
+@F.pandas_udf(BinaryType())
+def convex_hull_wkb(geom: pd.Series) -> pd.Series:
+    out = []
+    for buf in geom:
+        if buf is None:
+            out.append(None)
+            continue
+        pts = [
+            (float(x), float(y))
+            for rings in W.decode_polygons(bytes(buf))
+            for ring in rings
+            for x, y in ring
+        ]
+        out.append(W.polygon_wkb([G.convex_hull(pts)]))
+    return pd.Series(out)
+
+
+def simplify_segmentize_wkb(tol: float, max_len: float | None = None):
+    """pandas_udf: optional segmentize then Douglas-Peucker per ring,
+    preserving polygon/multipolygon structure."""
+
+    @F.pandas_udf(BinaryType())
+    def _f(geom: pd.Series) -> pd.Series:
+        out = []
+        for buf in geom:
+            if buf is None:
+                out.append(None)
+                continue
+            polys = []
+            for rings in W.decode_polygons(bytes(buf)):
+                new_rings = []
+                for ring in rings:
+                    pts = [(float(x), float(y)) for x, y in ring]
+                    if max_len is not None:
+                        pts = G.segmentize(pts, max_len)
+                    pts = G.simplify(pts, tol)
+                    new_rings.append(pts)
+                polys.append(new_rings)
+            if len(polys) == 1:
+                out.append(W.polygon_wkb(polys[0]))
+            else:
+                out.append(W.multipolygon_wkb(polys))
+        return pd.Series(out)
+
+    return _f
+
+
+def buffer_points(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    radius: float,
+    quadsegs: int = 8,
+) -> DataFrame:
+    """Vertex table of circular buffers: input rows + (k, vx, vy) for the
+    4*quadsegs ring vertices (CCW from +x). All JVM column math."""
+    n = 4 * quadsegs
+    k = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("k")
+    d = df.select("*", k)
+    ang = F.col("k").cast("double") * (2.0 * 3.141592653589793 / n)
+    return d.withColumn("vx", F.col(x_col) + F.lit(radius) * F.cos(ang)).withColumn(
+        "vy", F.col(y_col) + F.lit(radius) * F.sin(ang)
+    )

@@ -72,28 +72,49 @@ def image_features(media: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for _, row in pdf.iterrows():
-                if row["kind"] != "image":
-                    continue
-                m = row["meta"]
-                img = _decode_rgb(bytes(row["payload"]), m["width"], m["height"])
-                lum = img.astype(np.float64).mean(axis=2)
-                hist, _ = np.histogram(lum, bins=16, range=(0, 256))
-                rows.append(
-                    {
-                        "media_id": row["media_id"],
-                        "mean_r": float(img[:, :, 0].mean()),
-                        "mean_g": float(img[:, :, 1].mean()),
-                        "mean_b": float(img[:, :, 2].mean()),
-                        "std_lum": float(lum.std()),
-                        "hist": hist.astype(np.int64).tolist(),
-                    }
+            pdf = pdf[pdf["kind"] == "image"].reset_index(drop=True)
+            cols = ["media_id", "mean_r", "mean_g", "mean_b", "std_lum", "hist"]
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            ws = pdf["meta"].map(lambda m: m["width"]).to_numpy()
+            hs = pdf["meta"].map(lambda m: m["height"]).to_numpy()
+            frames = []
+            # decode is inherently per-image (real codecs too); the math
+            # below is one vectorized pass over the whole (B,h,w,3) stack
+            # per same-shape group — no per-row python in the hot path
+            for (w, h), idx in pd.DataFrame({"w": ws, "h": hs}).groupby(
+                ["w", "h"]
+            ).groups.items():
+                sub = pdf.loc[idx]
+                stack = np.stack(
+                    [
+                        _decode_rgb(bytes(p), int(w), int(h))
+                        for p in sub["payload"]
+                    ]
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=["media_id", "mean_r", "mean_g", "mean_b", "std_lum", "hist"],
-            )
+                b = stack.shape[0]
+                means = stack.reshape(b, -1, 3).mean(axis=1)
+                lum = stack.astype(np.float64).mean(axis=3).reshape(b, -1)
+                std = lum.std(axis=1)
+                bins = np.minimum((lum / 16.0).astype(np.int64), 15)
+                offs = np.arange(b, dtype=np.int64)[:, None] * 16
+                hist = np.bincount(
+                    (bins + offs).ravel(), minlength=b * 16
+                ).reshape(b, 16)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "media_id": sub["media_id"].to_numpy(),
+                            "mean_r": means[:, 0],
+                            "mean_g": means[:, 1],
+                            "mean_b": means[:, 2],
+                            "std_lum": std,
+                            "hist": list(hist),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)[cols]
 
     return media.mapInPandas(
         batches,
@@ -109,28 +130,45 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for _, row in pdf.iterrows():
-                if row["kind"] != "image":
-                    continue
-                m = row["meta"]
-                img = _decode_rgb(bytes(row["payload"]), m["width"], m["height"])
-                yi = (np.arange(out_h) * m["height"] // out_h).astype(np.int64)
-                xi = (np.arange(out_w) * m["width"] // out_w).astype(np.int64)
-                out = img[yi][:, xi]
-                rows.append(
-                    {
-                        "media_id": row["media_id"],
-                        "kind": "image",
-                        "payload": out.tobytes(),
-                        "meta": {
-                            "width": out_w,
-                            "height": out_h,
-                            "channels": 3,
-                            "sample_rate": m["sample_rate"],
-                        },
-                    }
+            pdf = pdf[pdf["kind"] == "image"].reset_index(drop=True)
+            cols = ["media_id", "kind", "payload", "meta"]
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            ws = pdf["meta"].map(lambda m: m["width"]).to_numpy()
+            hs = pdf["meta"].map(lambda m: m["height"]).to_numpy()
+            frames = []
+            for (w, h), idx in pd.DataFrame({"w": ws, "h": hs}).groupby(
+                ["w", "h"]
+            ).groups.items():
+                sub = pdf.loc[idx]
+                stack = np.stack(
+                    [
+                        _decode_rgb(bytes(p), int(w), int(h))
+                        for p in sub["payload"]
+                    ]
                 )
-            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+                yi = (np.arange(out_h) * int(h) // out_h).astype(np.int64)
+                xi = (np.arange(out_w) * int(w) // out_w).astype(np.int64)
+                out = stack[:, yi][:, :, xi]  # one gather for the batch
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "media_id": sub["media_id"].to_numpy(),
+                            "kind": "image",
+                            "payload": [out[i].tobytes() for i in range(len(sub))],
+                            "meta": [
+                                {
+                                    "width": out_w,
+                                    "height": out_h,
+                                    "channels": 3,
+                                    "sample_rate": int(m["sample_rate"]),
+                                }
+                                for m in sub["meta"]
+                            ],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)[cols]
 
     return media.mapInPandas(batches, MEDIA_SCHEMA)

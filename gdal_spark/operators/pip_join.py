@@ -217,6 +217,45 @@ def _zone_envelopes(zones: DataFrame, driver_threshold: int = 2000) -> DataFrame
     return zones.join(F.broadcast(edf), "zone_id")
 
 
+def _ring_inside_literal(ring, lat: str, lon: str) -> str:
+    """Crossing-parity SQL with LITERAL segment coordinates — same rule
+    as _ring_inside but fully unrolled arithmetic (no higher-order
+    functions). HOFs like aggregate()/exists() are CodegenFallback in
+    Spark: they evaluate interpreted with per-row closure allocation,
+    which is memory-bandwidth-bound and stops scaling with cores; the
+    unrolled form stays inside whole-stage codegen."""
+    terms = []
+    for i in range(1, ring.shape[0]):
+        x1, y1 = float(ring[i, 0]), float(ring[i, 1])
+        x2, y2 = float(ring[i - 1, 0]), float(ring[i - 1, 1])
+        crossing = (
+            f"(CASE WHEN (({y1!r} - {lat} > 0.0) AND ({y2!r} - {lat} <= 0.0)) "
+            f"OR (({y2!r} - {lat} > 0.0) AND ({y1!r} - {lat} <= 0.0)) THEN "
+            f"(CASE WHEN (({x1!r} - {lon}) * ({y2!r} - {lat}) - "
+            f"({x2!r} - {lon}) * ({y1!r} - {lat})) "
+            f"/ (({y2!r} - {lat}) - ({y1!r} - {lat})) > 0.0 THEN 1 ELSE 0 END) "
+            f"ELSE 0 END)"
+        )
+        terms.append(crossing)
+    return f"((({' + '.join(terms)}) % 2) = 1)"
+
+
+def _inside_literal_expr(buf: bytes, lat: str, lon: str) -> str:
+    """Point-in-(multi)polygon with the zone geometry compiled to literal
+    arithmetic (driver-side zone compile taken to its end point)."""
+    polys = []
+    for rings in W.decode_polygons(buf):
+        outer = _ring_inside_literal(rings[0], lat, lon)
+        holes = [_ring_inside_literal(r, lat, lon) for r in rings[1:]]
+        if holes:
+            polys.append(
+                f"({outer} AND NOT ({' OR '.join(holes)}))"
+            )
+        else:
+            polys.append(outer)
+    return "(" + " OR ".join(polys) + ")"
+
+
 def pip_join_broadcast(
     pages: DataFrame,
     zones: DataFrame,
@@ -226,12 +265,34 @@ def pip_join_broadcast(
 ) -> DataFrame:
     """Broadcast strategy: bbox theta-join (phase 1) + exact refine (phase 2).
 
-    refine='sql' (default): crossing-parity over compiled segment arrays,
-    fully inside whole-stage codegen. refine='pandas': the vectorized numpy
-    kernel via pandas_udf (kept for parity testing; slower because the
-    Python eval node buffers pass-through columns).
-    """
+    refine='sql' (default): crossing-parity over compiled segment arrays
+    via higher-order functions — general but CodegenFallback (interpreted).
+    refine='codegen': zone geometries compile to LITERAL unrolled
+    arithmetic inside the join condition — zero allocation, whole-stage
+    codegen, scales with cores (the N->4N bench path); driver-collects the
+    zone table, so small zone sets only. refine='pandas': the vectorized
+    numpy kernel via pandas_udf (parity testing)."""
     z = _zone_envelopes(zones)
+    if refine == "codegen":
+        rows = zones.select("zone_id", "geometry").collect()
+        whens = " ".join(
+            f"WHEN {int(r['zone_id'])} THEN "
+            + _inside_literal_expr(bytes(r["geometry"]), lat_col, lon_col)
+            for r in rows
+        )
+        case = f"(CASE zone_id {whens} ELSE false END)"
+        # gate the (large) refine behind the bbox test with an explicit
+        # CASE: conjunct evaluation order inside a join condition is not
+        # guaranteed, and evaluating the refine per candidate PAIR costs
+        # ~|zones| x segment-count per page row
+        bbox = (
+            f"({lat_col} IS NOT NULL AND {lon_col} >= minx AND {lon_col} <= maxx "
+            f"AND {lat_col} >= miny AND {lat_col} <= maxy)"
+        )
+        cond = F.expr(f"CASE WHEN {bbox} THEN {case} ELSE false END")
+        return pages.join(F.broadcast(z), cond, "inner").drop(
+            "minx", "miny", "maxx", "maxy"
+        )
     if refine == "sql":
         z = _with_polys(z)
     lat, lon = F.col(lat_col), F.col(lon_col)

@@ -95,11 +95,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config(
             "spark.driver.extraJavaOptions",
+            # -XX:-DontCompileHugeMethods: whole-stage-codegen methods for
+            # wide literal expressions (compiled zone refines, hex cell
+            # math) exceed HotSpot's 8000-bytecode JIT ceiling and would
+            # otherwise run in the bytecode interpreter (measured 10-20x)
             (
                 f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '12g')} "
-                "-XX:+AlwaysPreTouch -XX:+UseG1GC"
+                "-XX:+AlwaysPreTouch -XX:+UseG1GC -XX:-DontCompileHugeMethods"
                 if os.environ.get("SPARK_GRAFT_PRETOUCH")
-                else "-XX:+UseG1GC"
+                else "-XX:+UseG1GC -XX:-DontCompileHugeMethods"
             ),
         )
         .config("spark.ui.enabled", "false")
