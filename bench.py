@@ -161,9 +161,13 @@ def run_warp_bench(spark, size: int = 4096) -> dict:
         (lon0, (lon1 - lon0) / size, 0.0, lat0, 0.0, (lat1 - lat0) / size),
         "EPSG:4326", block=256,
     )
-    blocks = R.synthetic_raster(spark, src)
+    # production rasters arrive as materialized block tables; generation
+    # is not part of the warp measurement
+    blocks = R.synthetic_raster(spark, src).persist()
+    blocks.count()
     out = {}
     for resampling in ("near", "cubic"):
+        R.warp(blocks, src, dst, resampling).count()  # warm workers/codegen
         t0 = time.time()
         n = R.warp(blocks, src, dst, resampling).count()
         out[f"warp_{size}_{resampling}_sec"] = round(time.time() - t0, 3)
@@ -171,6 +175,7 @@ def run_warp_bench(spark, size: int = 4096) -> dict:
             size * size / (time.time() - t0) / 1e6, 1
         )
         assert n == dst.nbx * dst.nby
+    blocks.unpersist()
     return out
 
 

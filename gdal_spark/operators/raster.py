@@ -141,35 +141,58 @@ def warp(
     nbx_src, nby_src = src.nbx, src.nby
     nodata = dst.nodata
 
-    @F.pandas_udf("array<struct<sbx:int,sby:int>>")
-    def needed_blocks(dbx: pd.Series, dby: pd.Series) -> pd.Series:
-        out = []
-        for x, y in zip(dbx, dby):
-            dw = min(bs, dst.width - x * bs)
-            dh = min(bs, dst.height - y * bs)
-            wx0, wy0, ww, wh = WK.src_window_for_dst_block(
-                x * bs, y * bs, dw, dh, dst_gt, dst_crs, src_gt, src_crs
-            )
-            wx0c, wy0c = max(wx0, 0), max(wy0, 0)
-            wx1 = min(wx0 + ww, src_w)
-            wy1 = min(wy0 + wh, src_h)
-            if wx1 <= wx0c or wy1 <= wy0c:
-                out.append([])
-                continue
-            out.append(
-                [
-                    {"sbx": sbx, "sby": sby}
-                    for sby in range(wy0c // sbs, min((wy1 - 1) // sbs, nby_src - 1) + 1)
-                    for sbx in range(wx0c // sbs, min((wx1 - 1) // sbs, nbx_src - 1) + 1)
-                ]
-            )
-        return pd.Series(out)
+    def _window_blocks(x: int, y: int):
+        dw = min(bs, dst.width - x * bs)
+        dh = min(bs, dst.height - y * bs)
+        wx0, wy0, ww, wh = WK.src_window_for_dst_block(
+            x * bs, y * bs, dw, dh, dst_gt, dst_crs, src_gt, src_crs
+        )
+        wx0c, wy0c = max(wx0, 0), max(wy0, 0)
+        wx1 = min(wx0 + ww, src_w)
+        wy1 = min(wy0 + wh, src_h)
+        if wx1 <= wx0c or wy1 <= wy0c:
+            return []
+        return [
+            (sbx, sby)
+            for sby in range(wy0c // sbs, min((wy1 - 1) // sbs, nby_src - 1) + 1)
+            for sbx in range(wx0c // sbs, min((wx1 - 1) // sbs, nbx_src - 1) + 1)
+        ]
 
-    need = (
-        skel.withColumn("nb", needed_blocks(F.col("dbx"), F.col("dby")))
-        .select("dbx", "dby", F.explode("nb").alias("nb"))
-        .select("dbx", "dby", F.col("nb.sbx").alias("bx"), F.col("nb.sby").alias("by"))
-    )
+    n_dst = dst.nbx * dst.nby
+    if n_dst <= 65536:
+        # dst skeleton is metadata, not data: the ComputeSourceWindow
+        # analogue is a few transforms per dst BLOCK — driver-side math,
+        # no python-worker stage (same fast-path rationale as the zone
+        # compiles in pip_join)
+        from ..session import local_df
+
+        rows = [
+            (x, y, sbx, sby)
+            for y in range(dst.nby)
+            for x in range(dst.nbx)
+            for sbx, sby in _window_blocks(x, y)
+        ]
+        need = local_df(
+            spark, rows, "dbx int, dby int, bx int, by int"
+        )
+    else:
+
+        @F.pandas_udf("array<struct<sbx:int,sby:int>>")
+        def needed_blocks(dbx: pd.Series, dby: pd.Series) -> pd.Series:
+            out = []
+            for x, y in zip(dbx, dby):
+                out.append(
+                    [{"sbx": sbx, "sby": sby} for sbx, sby in _window_blocks(x, y)]
+                )
+            return pd.Series(out)
+
+        need = (
+            skel.withColumn("nb", needed_blocks(F.col("dbx"), F.col("dby")))
+            .select("dbx", "dby", F.explode("nb").alias("nb"))
+            .select(
+                "dbx", "dby", F.col("nb.sbx").alias("bx"), F.col("nb.sby").alias("by")
+            )
+        )
     joined = need.join(src_blocks, ["bx", "by"], "inner")
 
     def warp_group(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -107,6 +107,14 @@ def get_spark(
             ),
         )
         .config("spark.ui.enabled", "false")
+        # glibc returns >128KB allocations to the OS via mmap, so every
+        # numpy temp array in a pandas_udf kernel re-faults fresh pages —
+        # and this VM first-touches memory at ~130MB/s. Forcing large
+        # allocations onto the (retained) heap makes long-lived python
+        # workers reuse warm pages: measured 30x on the warp kernel
+        # (0.4 -> 11.6 Mpix/s single worker).
+        .config("spark.executorEnv.MALLOC_MMAP_MAX_", "0")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "268435456")
     )
     spark = builder.getOrCreate()
     _ship_package(spark)
