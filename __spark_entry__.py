@@ -1545,7 +1545,7 @@ def q_geom_props(spark, sf_dir):
 
 
 POLYGONIZE_ZONES = (102, 104, 105, 108, 109)
-POLYGONIZE_ZOOM = 8
+POLYGONIZE_ZOOM = 7
 
 OVERLAY_ZONES = (101, 102, 104, 105, 107, 108, 109)  # axis-aligned
 OVERLAY_CELL = 0.05

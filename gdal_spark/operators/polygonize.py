@@ -64,17 +64,20 @@ def _union(parent: dict, a, b):
 
 
 def _resolve_zoom(pixels: DataFrame, zoom: int | None) -> int:
+    """zoom given: trust it (mismatched rows fail loudly inside local_cc,
+    which asserts per-tile zoom uniformity — no extra full pass over the
+    input). zoom=None: one aggregation to discover and validate it."""
+    if zoom is not None:
+        return int(zoom)
     row = pixels.select(
         F.min("zoom").alias("zmin"), F.max("zoom").alias("zmax")
     ).collect()[0]
     if row["zmin"] is None:
-        return zoom if zoom is not None else 0
+        return 0
     if row["zmin"] != row["zmax"]:
         raise ValueError(
             f"polygonize requires a single zoom level, got {row['zmin']}..{row['zmax']}"
         )
-    if zoom is not None and zoom != row["zmin"]:
-        raise ValueError(f"zoom={zoom} but input pixels are at zoom {row['zmin']}")
     return int(row["zmin"])
 
 
@@ -103,6 +106,12 @@ def polygonize(
     )
 
     def local_cc(pdf: pd.DataFrame) -> pd.DataFrame:
+        zs = pdf["zoom"].to_numpy()
+        if len(zs) and (zs != z).any():
+            raise ValueError(
+                f"polygonize: rows at zoom {sorted(set(zs.tolist()))} but "
+                f"zoom={z} requested"
+            )
         gids = pdf["gid"].to_numpy()
         vals = pdf["value"].to_numpy()
         gx = gids % world

@@ -107,14 +107,18 @@ def get_spark(
             ),
         )
         .config("spark.ui.enabled", "false")
-        # glibc returns >128KB allocations to the OS via mmap, so every
-        # numpy temp array in a pandas_udf kernel re-faults fresh pages —
-        # and this VM first-touches memory at ~130MB/s. Forcing large
-        # allocations onto the (retained) heap makes long-lived python
-        # workers reuse warm pages: measured 30x on the warp kernel
-        # (0.4 -> 11.6 Mpix/s single worker).
-        .config("spark.executorEnv.MALLOC_MMAP_MAX_", "0")
-        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "268435456")
+        # glibc mmaps >128KB allocations and returns them to the OS on
+        # free, so every numpy temp array in a pandas_udf kernel
+        # re-faults fresh pages — and this VM first-touches memory at
+        # ~130MB/s. Raising the mmap/trim thresholds to 128MB keeps
+        # typical kernel temporaries (raster blocks, batch stacks) on
+        # the retained heap for warm reuse (measured 30x on the warp
+        # kernel) while still letting truly huge buffers mmap —
+        # MALLOC_MMAP_MAX_=0 is NOT safe here: it fragments the heap
+        # under polygonize/rasterize's mixed allocation sizes (measured
+        # 17x regression).
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "134217728")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "134217728")
     )
     spark = builder.getOrCreate()
     _ship_package(spark)
