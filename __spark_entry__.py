@@ -286,6 +286,21 @@ def q_ogr_like_substr(spark, sf_dir):
     )
 
 
+def q_ogr_predicates(spark, sf_dir):
+    """The remaining swq comparison/logic operators in one query:
+    IN, BETWEEN, IS NULL / IS NOT NULL, NOT (swq_op_registrar.cpp:29-42)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("hot"),
+        F.col("o_totalprice").between(50000.0, 150000.0).alias("mid"),
+        F.when(F.col("o_totalprice") > 100000.0, F.col("o_orderdate"))
+        .isNull()
+        .alias("cheap_nulled"),
+        (~F.col("o_orderstatus").isin("F")).alias("not_final"),
+    )
+
+
 def q_ogr_union_all(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     big = o.filter(F.col("o_totalprice") > 100000).select(
@@ -1151,6 +1166,106 @@ def q_zonal_metrics(spark, sf_dir):
     )
 
 
+# ------------------------------------------- raster point sampling
+
+SAMPLE_N = 400
+
+
+def _sample_points(spark):
+    """Deterministic fractional sample positions inside the synthetic
+    raster, expressed in georeferenced coords (identical math in the
+    oracle; everything rational so values compare exactly)."""
+    g = HILLSHADE_GT
+    return spark.range(SAMPLE_N).select(
+        F.col("id").alias("point_id"),
+        (F.lit(g[0]) + ((F.col("id") * 0.317 + 0.219) % 128.0) * F.lit(g[1])).alias("x"),
+        (F.lit(g[3]) + ((F.col("id") * 0.731 + 0.467) % 128.0) * F.lit(g[5])).alias("y"),
+    )
+
+
+def q_sample_nearest(spark, sf_dir):
+    """InterpolateAtPoint nearest (gcore/gdalrasterband.cpp:9956,
+    alg/gdal_interpolateatpoint.cpp:415) — all-JVM join sampling."""
+    from gdal_spark.operators import raster as R
+    from gdal_spark.operators.sampling import sample_nearest
+
+    meta = R.RasterMeta(HILLSHADE_N, HILLSHADE_N, HILLSHADE_GT, "EPSG:3857", block=32)
+    out = sample_nearest(_sample_points(spark), R.synthetic_raster(spark, meta), meta)
+    return out.select("point_id", "val")
+
+
+def q_sample_bilinear(spark, sf_dir):
+    """InterpolateAtPoint bilinear (GWKBilinearResample4Sample weights)."""
+    from gdal_spark.operators import raster as R
+    from gdal_spark.operators.sampling import sample_bilinear
+
+    meta = R.RasterMeta(HILLSHADE_N, HILLSHADE_N, HILLSHADE_GT, "EPSG:3857", block=32)
+    out = sample_bilinear(
+        _sample_points(spark), R.synthetic_raster(spark, meta), meta
+    )
+    return out.select("point_id", F.round("val", 6).alias("val"))
+
+
+def _sample_px_sql():
+    g = HILLSHADE_GT
+    from gdal_spark.kernels.geotransform import inv_geotransform
+
+    inv = inv_geotransform(g)
+    x = f"({g[0]!r} + ((CAST(i.range AS DOUBLE) * 0.317 + 0.219) % 128.0) * {g[1]!r})"
+    y = f"({g[3]!r} + ((CAST(i.range AS DOUBLE) * 0.731 + 0.467) % 128.0) * {g[5]!r})"
+    px = f"({inv[0]!r} + {x} * {inv[1]!r})"
+    py = f"({inv[3]!r} + {y} * {inv[5]!r})"
+    return px, py
+
+
+def _sample_nearest_oracle() -> str:
+    n = HILLSHADE_N
+    px, py = _sample_px_sql()
+    # explicit FLOOR: DuckDB's double->BIGINT cast rounds to nearest,
+    # Spark's truncates (the kernel truncates, gdalwarpkernel int cast)
+    ix = f"LEAST(CAST(FLOOR({px} + 1e-10) AS BIGINT), {n - 1})"
+    iy = f"LEAST(CAST(FLOOR({py} + 1e-10) AS BIGINT), {n - 1})"
+    return f"""
+      SELECT CAST(i.range AS BIGINT) AS point_id,
+             CAST((({iy}) * 7 + ({ix}) * 13) % 256 AS DOUBLE) AS val
+      FROM range(0, {SAMPLE_N}) i
+      WHERE {px} >= 0 AND {px} + 1e-10 <= {n}
+        AND {py} >= 0 AND {py} + 1e-10 <= {n}
+    """
+
+
+def _sample_bilinear_oracle() -> str:
+    n = HILLSHADE_N
+    px, py = _sample_px_sql()
+    return f"""
+      WITH p AS (
+        SELECT CAST(i.range AS BIGINT) AS point_id, {px} AS px, {py} AS py
+        FROM range(0, {SAMPLE_N}) i
+      ), c AS (
+        SELECT point_id,
+               CASE WHEN FLOOR(px - 0.5) = -1 THEN 0
+                    ELSE CAST(FLOOR(px - 0.5) AS BIGINT) END AS ix0,
+               CASE WHEN FLOOR(px - 0.5) = -1 THEN 1.0
+                    ELSE 1.5 - (px - FLOOR(px - 0.5)) END AS ratx,
+               CASE WHEN FLOOR(py - 0.5) = -1 THEN 0
+                    ELSE CAST(FLOOR(py - 0.5) AS BIGINT) END AS iy0,
+               CASE WHEN FLOOR(py - 0.5) = -1 THEN 1.0
+                    ELSE 1.5 - (py - FLOOR(py - 0.5)) END AS raty
+        FROM p
+      ), taps AS (
+        SELECT point_id, (ix0 + dx.range) AS cx, (iy0 + dy.range) AS cy,
+               (CASE WHEN dx.range = 0 THEN ratx ELSE 1.0 - ratx END)
+               * (CASE WHEN dy.range = 0 THEN raty ELSE 1.0 - raty END) AS wgt
+        FROM c, range(0, 2) dx, range(0, 2) dy
+      )
+      SELECT point_id,
+             ROUND(SUM(((cy * 7 + cx * 13) % 256) * wgt) / SUM(wgt), 6) AS val
+      FROM taps
+      WHERE cx >= 0 AND cx < {n} AND cy >= 0 AND cy < {n}
+      GROUP BY point_id
+    """
+
+
 # ------------------------------------------------- geometry transforms
 
 
@@ -1513,6 +1628,43 @@ def _grid_nearest_oracle() -> str:
     )
 
 
+LINEAR_PLANE = (2.5, 1.25, 7.0)  # v = a*x + b*y + c
+
+
+def q_grid_linear(spark, sf_dir):
+    """GDALGridLinear (alg/gdalgrid.cpp:2459): Delaunay TIN + barycentric
+    interpolation. Oracle exploits the exactness invariant: barycentric
+    interpolation of a LINEAR field reproduces the field at every node
+    inside the hull, independent of the triangulation — the fixture's
+    hull is a known square (corner points included), so the oracle is
+    the closed-form plane."""
+    from gdal_spark.operators.gridding import grid_linear
+
+    a, b, c = LINEAR_PLANE
+    corners = spark.createDataFrame(
+        [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)], "x double, y double"
+    )
+    interior = spark.range(60).select(
+        ((F.col("id") * 0.713 + 0.157) % 10.0).alias("x"),
+        ((F.col("id") * 1.331 + 0.293) % 10.0).alias("y"),
+    )
+    pts = corners.unionByName(interior).withColumn(
+        "v", F.lit(a) * F.col("x") + F.lit(b) * F.col("y") + F.lit(c)
+    )
+    out = grid_linear(pts, x0=0.3, y0=0.25, dx=0.65, dy=0.65, nx=15, ny=15)
+    return out.select("ix", "iy", F.round("value", 6).alias("value"))
+
+
+def _grid_linear_oracle() -> str:
+    a, b, c = LINEAR_PLANE
+    return f"""
+      SELECT CAST(x.range AS BIGINT) AS ix, CAST(y.range AS BIGINT) AS iy,
+             ROUND({a!r} * (0.3 + x.range * 0.65)
+                   + {b!r} * (0.25 + y.range * 0.65) + {c!r}, 6) AS value
+      FROM range(0, 15) x, range(0, 15) y
+    """
+
+
 def q_events_json(spark, sf_dir):
     """JSON prop extraction (OGR JSON field subtype superset)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1667,6 +1819,7 @@ _QUERIES = {
         "ogr_first_match_join": q_ogr_first_match_join,
         "ogr_order_limit": q_ogr_order_limit,
         "ogr_like_substr": q_ogr_like_substr,
+        "ogr_predicates": q_ogr_predicates,
         "ogr_union_all": q_ogr_union_all,
         "ogr_cast_arith": q_ogr_cast_arith,
         "rasterize_zones": q_rasterize_zones,
@@ -1705,12 +1858,15 @@ _QUERIES = {
         "zonal_metrics": q_zonal_metrics,
         "proximity": q_proximity,
         "sieve": q_sieve,
+        "sample_nearest": q_sample_nearest,
+        "sample_bilinear": q_sample_bilinear,
         "geom_convexhull": q_geom_convexhull,
         "geom_simplify": q_geom_simplify,
         "geom_buffer": q_geom_buffer,
         "grid_invdist": q_grid_invdist,
         "grid_average": q_grid_average,
         "grid_nearest": q_grid_nearest,
+        "grid_linear": q_grid_linear,
         "events_json": q_events_json,
         "geom_props": q_geom_props,
         "events_window": q_events_window,
@@ -1830,6 +1986,15 @@ def oracle_sql() -> dict[str, str]:
                    {OG.ogr_substr_sql('p_name', 0, 2)} AS zero2,
                    {OG.ogr_substr_sql('p_name', 5)} AS from5
             FROM part
+        """,
+        "ogr_predicates": """
+            SELECT o_orderkey,
+                   o_orderpriority IN ('1-URGENT', '2-HIGH') AS hot,
+                   o_totalprice BETWEEN 50000.0 AND 150000.0 AS mid,
+                   (CASE WHEN o_totalprice > 100000.0 THEN o_orderdate END)
+                     IS NULL AS cheap_nulled,
+                   NOT (o_orderstatus IN ('F')) AS not_final
+            FROM orders
         """,
         "ogr_union_all": """
             SELECT o_orderkey, 'big' AS branch FROM orders WHERE o_totalprice > 100000
@@ -1963,6 +2128,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "proximity": _proximity_oracle(),
         "sieve": _sieve_oracle(),
+        "sample_nearest": _sample_nearest_oracle(),
+        "sample_bilinear": _sample_bilinear_oracle(),
         "geom_convexhull": _convexhull_oracle(),
         "geom_simplify": """
             SELECT zone_id, wkt
@@ -1972,6 +2139,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_invdist": _grid_invdist_oracle(),
         "grid_average": _grid_average_oracle(),
         "grid_nearest": _grid_nearest_oracle(),
+        "grid_linear": _grid_linear_oracle(),
         "events_json": """
             SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
                    COUNT(*) AS n,

@@ -110,6 +110,75 @@ def grid_average(
     return agg.filter(F.col("n_points") >= min_points)
 
 
+def grid_linear(
+    points: DataFrame, x0, y0, dx, dy, nx, ny,
+    x_col: str = "x", y_col: str = "y", v_col: str = "v",
+    driver_threshold: int = 100_000,
+) -> DataFrame:
+    """Linear (Delaunay TIN) interpolation, GDALGridLinear semantics
+    (alg/gdalgrid.cpp:2459): triangulate the points (driver-side
+    Bowyer-Watson — the point table is the small side, same compile
+    pattern as zones), broadcast the triangle table, locate each grid
+    node via a bbox-gated broadcast join + barycentric containment, and
+    interpolate the three vertex values. Nodes outside the convex hull
+    are omitted (the reference writes nodata). Output: (ix, iy, value).
+    """
+    rows = points.select(x_col, y_col, v_col).limit(driver_threshold + 1).collect()
+    if len(rows) > driver_threshold:
+        raise ValueError(
+            f"grid_linear: > {driver_threshold} points; driver-side "
+            "triangulation is the supported path (reference uses a global "
+            "qhull triangulation too)"
+        )
+    from ..kernels.delaunay import delaunay
+    from ..session import local_df
+
+    pts = [(float(r[x_col]), float(r[y_col])) for r in rows]
+    vals = [float(r[v_col]) for r in rows]
+    tris = delaunay(pts)
+    trows = []
+    for ti, (a, b, c) in enumerate(tris):
+        (x1, y1), (x2, y2), (x3, y3) = pts[a], pts[b], pts[c]
+        trows.append(
+            (ti, x1, y1, vals[a], x2, y2, vals[b], x3, y3, vals[c],
+             min(x1, x2, x3), min(y1, y2, y3), max(x1, x2, x3), max(y1, y2, y3))
+        )
+    tdf = local_df(
+        points.sparkSession, trows,
+        "tri_id int, x1 double, y1 double, v1 double, x2 double, y2 double, "
+        "v2 double, x3 double, y3 double, v3 double, "
+        "bminx double, bminy double, bmaxx double, bmaxy double",
+    )
+    nodes = _node_grid(points.sparkSession, x0, y0, dx, dy, nx, ny)
+    cond = (
+        (F.col("nx_") >= F.col("bminx")) & (F.col("nx_") <= F.col("bmaxx"))
+        & (F.col("ny_") >= F.col("bminy")) & (F.col("ny_") <= F.col("bmaxy"))
+    )
+    j = nodes.join(F.broadcast(tdf), cond)
+    det = (F.col("y2") - F.col("y3")) * (F.col("x1") - F.col("x3")) + (
+        F.col("x3") - F.col("x2")
+    ) * (F.col("y1") - F.col("y3"))
+    l1 = (
+        (F.col("y2") - F.col("y3")) * (F.col("nx_") - F.col("x3"))
+        + (F.col("x3") - F.col("x2")) * (F.col("ny_") - F.col("y3"))
+    ) / det
+    l2 = (
+        (F.col("y3") - F.col("y1")) * (F.col("nx_") - F.col("x3"))
+        + (F.col("x1") - F.col("x3")) * (F.col("ny_") - F.col("y3"))
+    ) / det
+    l3 = 1.0 - l1 - l2
+    inside = (l1 >= -1e-12) & (l2 >= -1e-12) & (l3 >= -1e-12)
+    val = l1 * F.col("v1") + l2 * F.col("v2") + l3 * F.col("v3")
+    # shared-edge nodes match 2 triangles with identical interpolated
+    # value; keep the lowest tri_id deterministically
+    return (
+        j.filter(inside)
+        .withColumn("_val", val)
+        .groupBy("ix", "iy")
+        .agg(F.min_by("_val", "tri_id").alias("value"))
+    )
+
+
 def grid_nearest(
     points: DataFrame, x0, y0, dx, dy, nx, ny,
     radius: float,

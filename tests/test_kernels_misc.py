@@ -176,3 +176,38 @@ class TestS2:
     def test_token(self):
         cid = S2.latlon_to_leaf(np.array([0.0]), np.array([0.0]))[0]
         assert S2.token(cid) == "1000000000000001"
+
+
+class TestDelaunay:
+    def test_empty_circumcircle_property(self):
+        """No point lies strictly inside any triangle's circumcircle —
+        the defining Delaunay property — on an irregular point set."""
+        import random
+
+        from gdal_spark.kernels.delaunay import _circumcircle_contains, _ccw, delaunay
+
+        rng = random.Random(11)
+        pts = [(rng.uniform(0, 100), rng.uniform(0, 100)) for _ in range(60)]
+        tris = delaunay(pts)
+        assert len(tris) > 0
+        for (a, b, c) in tris:
+            aa, bb, cc = pts[a], pts[b], pts[c]
+            if not _ccw(pts, a, b, c):
+                aa, cc = cc, aa
+            for i, p in enumerate(pts):
+                if i in (a, b, c):
+                    continue
+                assert not _circumcircle_contains(*aa, *bb, *cc, *p), (a, b, c, i)
+
+    def test_triangle_count_euler(self):
+        """For n points with h on the hull: triangles = 2n - h - 2."""
+        import random
+
+        from gdal_spark.kernels.delaunay import delaunay
+        from gdal_spark.kernels.geomops import convex_hull
+
+        rng = random.Random(7)
+        pts = [(rng.uniform(0, 10), rng.uniform(0, 10)) for _ in range(50)]
+        tris = delaunay(pts)
+        h = len(convex_hull(pts)) - 1
+        assert len(tris) == 2 * len(pts) - h - 2
