@@ -1166,6 +1166,185 @@ def q_zonal_metrics(spark, sf_dir):
     )
 
 
+# ------------------------------------ raster pipeline steps (per-pixel)
+
+RECLASS_RANGES = ((0.0, 64.0, 1.0), (64.0, 128.0, 2.0), (128.0, 500.0, 3.0))
+COLOR_STOPS = ((0.0, 0, 0, 128), (64.0, 255, 0, 0), (128.0, 0, 255, 0), (192.0, 0, 0, 255))
+
+
+def _raster_px(out, extra=("val",)):
+    cols = [
+        (F.col("bx") * 32 + F.col("idx") % 32).alias("gx"),
+        (F.col("by") * 32 + (F.col("idx") / 32).cast("int")).alias("gy"),
+    ]
+    return out, cols
+
+
+def q_raster_scale(spark, sf_dir):
+    """`gdal raster scale` step: out = in*a + b as a transform() lambda
+    (VRT pixel-function scale, frmts/vrt/pixelfunctions.cpp:2229)."""
+    from gdal_spark.operators import raster as R
+    from gdal_spark.operators.rastermath import scale_blocks
+
+    meta = R.RasterMeta(HILLSHADE_N, HILLSHADE_N, HILLSHADE_GT, "EPSG:3857", block=32)
+    out = scale_blocks(R.synthetic_raster(spark, meta), 0.5, 10.0)
+    return out.select("bx", "by", F.posexplode("block").alias("idx", "val")).select(
+        (F.col("bx") * 32 + F.col("idx") % 32).alias("gx"),
+        (F.col("by") * 32 + (F.col("idx") / 32).cast("int")).alias("gy"),
+        "val",
+    )
+
+
+def q_raster_reclassify(spark, sf_dir):
+    """`gdal raster reclassify` (apps/gdalalg_raster_reclassify.cpp):
+    range table with PASS_THROUGH default."""
+    from gdal_spark.operators import raster as R
+    from gdal_spark.operators.rastermath import reclassify_blocks
+
+    meta = R.RasterMeta(HILLSHADE_N, HILLSHADE_N, HILLSHADE_GT, "EPSG:3857", block=32)
+    out = reclassify_blocks(R.synthetic_raster(spark, meta), list(RECLASS_RANGES))
+    return out.select("bx", "by", F.posexplode("block").alias("idx", "val")).select(
+        (F.col("bx") * 32 + F.col("idx") % 32).alias("gx"),
+        (F.col("by") * 32 + (F.col("idx") / 32).cast("int")).alias("gy"),
+        "val",
+    )
+
+
+def q_raster_colormap(spark, sf_dir):
+    """`gdal raster color-map` (gdaldem color-relief discrete mode):
+    last-stop-below lookup into RGB bands."""
+    from gdal_spark.operators import raster as R
+    from gdal_spark.operators.rastermath import color_map_blocks
+
+    meta = R.RasterMeta(HILLSHADE_N, HILLSHADE_N, HILLSHADE_GT, "EPSG:3857", block=32)
+    out = color_map_blocks(R.synthetic_raster(spark, meta), list(COLOR_STOPS))
+    return (
+        out.select(
+            "bx", "by",
+            F.posexplode(
+                F.arrays_zip(
+                    F.col("block_r").alias("r"),
+                    F.col("block_g").alias("g"),
+                    F.col("block_b").alias("b"),
+                )
+            ).alias("idx", "rgb"),
+        )
+        .select(
+            (F.col("bx") * 32 + F.col("idx") % 32).alias("gx"),
+            (F.col("by") * 32 + (F.col("idx") / 32).cast("int")).alias("gy"),
+            F.col("rgb.r").alias("r"), F.col("rgb.g").alias("g"), F.col("rgb.b").alias("b"),
+        )
+    )
+
+
+def _raster_v_sql():
+    return "CAST(((gy * 7 + gx * 13) % 256) AS DOUBLE)"
+
+
+def _raster_grid_sql(n):
+    return (
+        f"(SELECT CAST(x.range AS BIGINT) AS gx, CAST(y.range AS BIGINT) AS gy "
+        f"FROM range(0, {n}) x, range(0, {n}) y)"
+    )
+
+
+def _raster_scale_oracle() -> str:
+    return f"""
+      SELECT gx, gy, {_raster_v_sql()} * CAST(0.5 AS DOUBLE) + CAST(10.0 AS DOUBLE) AS val
+      FROM {_raster_grid_sql(HILLSHADE_N)}
+    """
+
+
+def _raster_reclassify_oracle() -> str:
+    whens = " ".join(
+        f"WHEN v >= CAST({lo!r} AS DOUBLE) AND v < CAST({hi!r} AS DOUBLE) "
+        f"THEN CAST({val!r} AS DOUBLE)"
+        for lo, hi, val in RECLASS_RANGES
+    )
+    return f"""
+      SELECT gx, gy, CASE {whens} ELSE v END AS val
+      FROM (SELECT gx, gy, {_raster_v_sql()} AS v FROM {_raster_grid_sql(HILLSHADE_N)})
+    """
+
+
+def _raster_colormap_oracle() -> str:
+    cols = []
+    for ci, name in enumerate(("r", "g", "b")):
+        whens = " ".join(
+            f"WHEN v >= CAST({t!r} AS DOUBLE) THEN CAST({rgb[ci]} AS DOUBLE)"
+            for t, *rgb in reversed(COLOR_STOPS)
+        )
+        cols.append(f"CASE {whens} ELSE 0.0 END AS {name}")
+    return f"""
+      SELECT gx, gy, {", ".join(cols)}
+      FROM (SELECT gx, gy, {_raster_v_sql()} AS v FROM {_raster_grid_sql(HILLSHADE_N)})
+    """
+
+
+# ------------------------------------ vector pipeline steps
+
+
+def _fmt15(v: float) -> str:
+    return f"{v:.15g}"
+
+
+def q_swap_xy(spark, sf_dir):
+    """`gdal vector swap-xy` step (OGRGeometry::swapXY)."""
+    from gdal_spark.operators.geom import swap_xy_wkb
+    from gdal_spark.operators.raster import wkt_of
+
+    z = zones_df(spark)
+    return z.select("zone_id", wkt_of(swap_xy_wkb(F.col("geometry"))).alias("wkt"))
+
+
+def _swap_xy_oracle() -> str:
+    from gdal_spark.kernels import wkb as W
+    from gdal_spark.operators.zones import _zone_specs
+
+    rows = []
+    for zid, _, wkb_, _ in _zone_specs():
+        polys = W.decode_polygons(bytes(wkb_))
+        def ring_txt(r):
+            return "(" + ",".join(f"{_fmt15(y)} {_fmt15(x)}" for x, y in r) + ")"
+        if len(polys) == 1:
+            wkt = "POLYGON (" + ",".join(ring_txt(r) for r in polys[0]) + ")"
+        else:
+            wkt = "MULTIPOLYGON (" + ",".join(
+                "(" + ",".join(ring_txt(r) for r in rings) + ")" for rings in polys
+            ) + ")"
+        rows.append(f"({zid}, '{wkt}')")
+    return (
+        "SELECT CAST(c0 AS BIGINT) AS zone_id, c1 AS wkt FROM (VALUES "
+        + ", ".join(rows) + ") t(c0, c1)"
+    )
+
+
+def q_explode_collections(spark, sf_dir):
+    """`gdal vector explode-collections` step: one row per part."""
+    from gdal_spark.operators.geom import explode_collections
+    from gdal_spark.operators.raster import wkt_of
+
+    z = explode_collections(zones_df(spark))
+    return z.select("zone_id", "part_idx", wkt_of(F.col("geometry")).alias("wkt"))
+
+
+def _explode_collections_oracle() -> str:
+    from gdal_spark.kernels import wkb as W
+    from gdal_spark.operators.zones import _zone_specs
+
+    rows = []
+    for zid, _, wkb_, _ in _zone_specs():
+        for pi, rings in enumerate(W.decode_polygons(bytes(wkb_))):
+            def ring_txt(r):
+                return "(" + ",".join(f"{_fmt15(x)} {_fmt15(y)}" for x, y in r) + ")"
+            wkt = "POLYGON (" + ",".join(ring_txt(r) for r in rings) + ")"
+            rows.append(f"({zid}, {pi}, '{wkt}')")
+    return (
+        "SELECT CAST(c0 AS BIGINT) AS zone_id, CAST(c1 AS INTEGER) AS part_idx, "
+        "c2 AS wkt FROM (VALUES " + ", ".join(rows) + ") t(c0, c1, c2)"
+    )
+
+
 # ------------------------------------------- raster point sampling
 
 SAMPLE_N = 400
@@ -1858,6 +2037,11 @@ _QUERIES = {
         "zonal_metrics": q_zonal_metrics,
         "proximity": q_proximity,
         "sieve": q_sieve,
+        "raster_scale": q_raster_scale,
+        "raster_reclassify": q_raster_reclassify,
+        "raster_colormap": q_raster_colormap,
+        "swap_xy": q_swap_xy,
+        "explode_collections": q_explode_collections,
         "sample_nearest": q_sample_nearest,
         "sample_bilinear": q_sample_bilinear,
         "geom_convexhull": q_geom_convexhull,
@@ -2128,6 +2312,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "proximity": _proximity_oracle(),
         "sieve": _sieve_oracle(),
+        "raster_scale": _raster_scale_oracle(),
+        "raster_reclassify": _raster_reclassify_oracle(),
+        "raster_colormap": _raster_colormap_oracle(),
+        "swap_xy": _swap_xy_oracle(),
+        "explode_collections": _explode_collections_oracle(),
         "sample_nearest": _sample_nearest_oracle(),
         "sample_bilinear": _sample_bilinear_oracle(),
         "geom_convexhull": _convexhull_oracle(),

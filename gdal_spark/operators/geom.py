@@ -70,6 +70,50 @@ def simplify_segmentize_wkb(tol: float, max_len: float | None = None):
     return _f
 
 
+@F.pandas_udf(BinaryType())
+def swap_xy_wkb(geom: pd.Series) -> pd.Series:
+    """`gdal vector swap-xy` (apps/gdalalg_vector_pipeline.cpp registry;
+    OGRGeometry::swapXY): exchange coordinate order of every vertex."""
+    out = []
+    for buf in geom:
+        if buf is None:
+            out.append(None)
+            continue
+        polys = [
+            [[(float(y), float(x)) for x, y in ring] for ring in rings]
+            for rings in W.decode_polygons(bytes(buf))
+        ]
+        out.append(
+            W.polygon_wkb(polys[0]) if len(polys) == 1 else W.multipolygon_wkb(polys)
+        )
+    return pd.Series(out)
+
+
+def explode_collections(zones: DataFrame) -> DataFrame:
+    """`gdal vector explode-collections`: one row per geometry part with
+    a part index; single polygons pass through as part 0."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType as _B,
+    )
+
+    @F.pandas_udf(ArrayType(_B()))
+    def parts_of(geom: pd.Series) -> pd.Series:
+        out = []
+        for buf in geom:
+            if buf is None:
+                out.append([])
+                continue
+            out.append(
+                [W.polygon_wkb(rings) for rings in W.decode_polygons(bytes(buf))]
+            )
+        return pd.Series(out)
+
+    return zones.withColumn("_parts", parts_of(F.col("geometry"))).select(
+        "*", F.posexplode("_parts").alias("part_idx", "part_geom")
+    ).drop("_parts", "geometry").withColumnRenamed("part_geom", "geometry")
+
+
 def buffer_points(
     df: DataFrame,
     x_col: str,
