@@ -1281,6 +1281,42 @@ def _raster_colormap_oracle() -> str:
     """
 
 
+def q_raster_mosaic(spark, sf_dir):
+    """`gdal raster mosaic`: first-valid-wins composition of two
+    same-grid rasters — raster A carries nodata holes (every pixel whose
+    value is divisible by 5), raster B fills them."""
+    from gdal_spark.operators import raster as R
+    from gdal_spark.operators.rastermath import mosaic_blocks
+
+    meta = R.RasterMeta(HILLSHADE_N, HILLSHADE_N, HILLSHADE_GT, "EPSG:3857", block=32)
+    a = R.synthetic_raster(spark, meta).withColumn(
+        "block", F.expr("transform(block, x -> CASE WHEN x % 5 = 0 THEN -1.0 ELSE x END)")
+    )
+    b = R.synthetic_raster(spark, meta).withColumn(
+        "block",
+        F.expr(
+            "transform(sequence(0, size(block) - 1), "
+            "i -> CAST((((by * 32 + i div 32) * 3 + (bx * 32 + i % 32) * 11) % 256) AS DOUBLE))"
+        ),
+    )
+    out = mosaic_blocks([a, b], nodata=-1.0)
+    return out.select("bx", "by", F.posexplode("block").alias("idx", "val")).select(
+        (F.col("bx") * 32 + F.col("idx") % 32).alias("gx"),
+        (F.col("by") * 32 + (F.col("idx") / 32).cast("int")).alias("gy"),
+        "val",
+    )
+
+
+def _raster_mosaic_oracle() -> str:
+    va = _raster_v_sql()
+    vb = "CAST(((gy * 3 + gx * 11) % 256) AS DOUBLE)"
+    return f"""
+      SELECT gx, gy,
+             CASE WHEN {va} % 5 = 0 THEN {vb} ELSE {va} END AS val
+      FROM {_raster_grid_sql(HILLSHADE_N)}
+    """
+
+
 # ------------------------------------ vector pipeline steps
 
 
@@ -2038,6 +2074,7 @@ _QUERIES = {
         "proximity": q_proximity,
         "sieve": q_sieve,
         "raster_scale": q_raster_scale,
+        "raster_mosaic": q_raster_mosaic,
         "raster_reclassify": q_raster_reclassify,
         "raster_colormap": q_raster_colormap,
         "swap_xy": q_swap_xy,
@@ -2313,6 +2350,7 @@ def oracle_sql() -> dict[str, str]:
         "proximity": _proximity_oracle(),
         "sieve": _sieve_oracle(),
         "raster_scale": _raster_scale_oracle(),
+        "raster_mosaic": _raster_mosaic_oracle(),
         "raster_reclassify": _raster_reclassify_oracle(),
         "raster_colormap": _raster_colormap_oracle(),
         "swap_xy": _swap_xy_oracle(),

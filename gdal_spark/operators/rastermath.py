@@ -37,6 +37,41 @@ def reclassify_blocks(blocks: DataFrame, ranges) -> DataFrame:
     )
 
 
+def mosaic_blocks(sources, nodata: float) -> DataFrame:
+    """`gdal raster mosaic` (apps/gdalalg_raster_mosaic.cpp): combine
+    same-grid rasters, first-valid-pixel-wins in source order (the
+    reference's VRT composition order). sources: list of block
+    DataFrames (bx, by, w, h, block). One union + one groupBy; the
+    per-key combine is a numpy pass over the few overlapping blocks."""
+    import numpy as np
+    import pandas as pd
+
+    tagged = None
+    for pri, src in enumerate(sources):
+        t = src.withColumn("_pri", F.lit(pri))
+        tagged = t if tagged is None else tagged.unionByName(t)
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_pri")
+        first = pdf.iloc[0]
+        out = np.full(int(first["w"]) * int(first["h"]), float(nodata))
+        for _, r in pdf.iterrows():
+            arr = np.asarray(r["block"], dtype=np.float64)
+            fill = out == nodata
+            out[fill] = arr[fill]
+        return pd.DataFrame(
+            {
+                "bx": [int(first["bx"])], "by": [int(first["by"])],
+                "w": [int(first["w"])], "h": [int(first["h"])],
+                "block": [out],
+            }
+        )
+
+    return tagged.groupBy("bx", "by").applyInPandas(
+        combine, "bx int, by int, w int, h int, block array<double>"
+    )
+
+
 def color_map_blocks(blocks: DataFrame, stops) -> DataFrame:
     """stops: sorted list of (threshold, r, g, b); each pixel takes the
     color of the LAST stop with threshold <= value (gdaldem color-relief
