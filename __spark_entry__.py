@@ -1317,6 +1317,64 @@ def _raster_mosaic_oracle() -> str:
     """
 
 
+VIEWSHED_NX, VIEWSHED_NY, VIEWSHED_OX, VIEWSHED_OY = 64, 9, 32, 4
+
+
+def _viewshed_dem():
+    import numpy as np
+
+    x = np.arange(VIEWSHED_NX)
+    # hill centered on the observer + tie-free bumps: mixed visibility
+    fx = (
+        -0.1 * np.abs(x - VIEWSHED_OX).astype(np.float64)
+        + ((x * 37) % 23).astype(np.float64) * 0.02
+        + ((x * 11) % 7).astype(np.float64) * 0.013
+    )
+    return np.tile(fx, (VIEWSHED_NY, 1))
+
+
+def q_viewshed_row(spark, sf_dir):
+    """Viewshed (alg/viewshed/viewshed_executor.cpp, Wang line sweep —
+    full 2-D semantics pinned against the reference C++ goldens in
+    tests/test_viewshed.py). The driver-checkable slice: on the
+    OBSERVER'S ROW the sweep reduces to 1-D slope prefix-max, which the
+    oracle reproduces with a window function; terrain values are
+    tie-free so the formulations agree exactly. Output: visible gx set
+    of the observer row."""
+    from gdal_spark.operators.viewshed_op import cumulative_viewshed
+
+    obs = spark.createDataFrame([(VIEWSHED_OX, VIEWSHED_OY)], "ox int, oy int")
+    out = cumulative_viewshed(obs, _viewshed_dem())
+    return out.filter(F.col("gy") == VIEWSHED_OY).select("gx").orderBy("gx")
+
+
+def _viewshed_row_oracle() -> str:
+    ox = VIEWSHED_OX
+    return f"""
+      WITH f AS (
+        SELECT x.range AS gx,
+               -0.1 * ABS(x.range - {ox})
+               + CAST((x.range * 37) % 23 AS DOUBLE) * 0.02
+               + CAST((x.range * 11) % 7 AS DOUBLE) * 0.013 AS fx
+        FROM range(0, {VIEWSHED_NX}) x
+      ), o AS (SELECT fx AS fo FROM f WHERE gx = {ox}),
+      s AS (
+        SELECT gx, (fx - fo) AS h, ABS(gx - {ox}) AS d,
+               CASE WHEN gx < {ox} THEN 0 ELSE 1 END AS side,
+               (fx - fo) / ABS(gx - {ox}) AS slope
+        FROM f, o WHERE gx != {ox}
+      ), m AS (
+        SELECT gx, d, slope,
+               MAX(slope) OVER (PARTITION BY side ORDER BY d
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS pmax
+        FROM s
+      )
+      SELECT gx FROM m WHERE d = 1 OR slope >= pmax
+      UNION ALL SELECT {ox}
+    """
+
+
 # ------------------------------------ vector pipeline steps
 
 
@@ -2075,6 +2133,7 @@ _QUERIES = {
         "sieve": q_sieve,
         "raster_scale": q_raster_scale,
         "raster_mosaic": q_raster_mosaic,
+        "viewshed_row": q_viewshed_row,
         "raster_reclassify": q_raster_reclassify,
         "raster_colormap": q_raster_colormap,
         "swap_xy": q_swap_xy,
@@ -2351,6 +2410,7 @@ def oracle_sql() -> dict[str, str]:
         "sieve": _sieve_oracle(),
         "raster_scale": _raster_scale_oracle(),
         "raster_mosaic": _raster_mosaic_oracle(),
+        "viewshed_row": _viewshed_row_oracle(),
         "raster_reclassify": _raster_reclassify_oracle(),
         "raster_colormap": _raster_colormap_oracle(),
         "swap_xy": _swap_xy_oracle(),
