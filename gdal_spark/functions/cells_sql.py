@@ -41,12 +41,15 @@ def hex_cell(lat: Column, lon: Column, res: int, barrier: bool = True) -> Column
     """lat/lon Columns -> int64 hex cell id at res. NULL-safe (NULL in/out).
 
     barrier=True (default) wraps the axial coordinates in
-    functions/barrier.once: the cube-rounding CASE tree references qf/rf
-    ~9 times, and when lat/lon are themselves derived expressions
+    functions/barrier.cheap_once: the cube-rounding CASE tree references
+    qf/rf ~9 times, and when lat/lon are themselves derived expressions
     CollapseProject inlines the whole derivation into every reference —
     measured >64KB of generated code (Janino bails to the interpreter,
-    +3s per query). The barrier keeps the derivation evaluated once."""
-    from .barrier import once
+    +3s per query). cheap_once blocks that inlining while staying inside
+    codegen (the shuffle(array()) form of `once` allocates an array per
+    row — measured 6x slower on a 1M-row scan; single-evaluation FILTER
+    placement isn't needed here, just anti-inlining)."""
+    from .barrier import cheap_once
 
     s = float(SIZES[res])
     mx = mercator_x(lon)
@@ -54,7 +57,7 @@ def hex_cell(lat: Column, lon: Column, res: int, barrier: bool = True) -> Column
     qf = (F.lit(float(SQRT3) / 3.0) * mx - my / F.lit(3.0)) / F.lit(s)
     rf = (F.lit(2.0 / 3.0) * my) / F.lit(s)
     if barrier:
-        qf, rf = once(qf), once(rf)
+        qf, rf = cheap_once(qf), cheap_once(rf)
     q, r = _axial_round_cols(qf, rf)
     # pack(res, q, r): fields are disjoint powers of two, so | == +
     return F.lit(res * (1 << 56)).cast("long") + (q + F.lit(_OFF)) * F.lit(1 << 28) + (r + F.lit(_OFF))

@@ -84,7 +84,10 @@ def grid_invdist(
         F.sum(w).alias("ww"),
         F.count(F.lit(1)).alias("n_points"),
         F.min("d2").alias("mind2"),
-        F.min_by("pv", F.struct("d2", "pv")).alias("near_v"),
+        # coincident-point rule: MIN(pv) among all points with d2 < EPS2
+        # (one documented rule shared with the oracle; GDAL itself takes
+        # the first sub-eps point in scan order, gdalgrid.cpp:190)
+        F.min(F.when(F.col("d2") < EPS2, F.col("pv"))).alias("near_v"),
     )
     return agg.filter(F.col("n_points") >= min_points).select(
         "ix", "iy",

@@ -113,10 +113,15 @@ def _mp_pairs(n_planes: int, dim: int, seed: int = 421):
     import random
 
     rng = random.Random(seed)
-    pairs = []
+    pairs, seen = [], set()
     while len(pairs) < n_planes:
         a, b = rng.randrange(dim), rng.randrange(dim)
-        if a != b and (a, b) not in pairs:
+        # canonicalize membership on (min, max): plane (b, a) is the exact
+        # negation of (a, b) — its bucket bit would be perfectly
+        # anti-correlated, wasting a plane and halving bucket entropy
+        key = (min(a, b), max(a, b))
+        if a != b and key not in seen:
+            seen.add(key)
             pairs.append((a, b))
     return pairs
 

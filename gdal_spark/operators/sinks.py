@@ -30,13 +30,20 @@ def write_mbtiles(
 ) -> int:
     """tiles: (zoom, tx, ty, tile[, checksum]) rows (tile_arrays output).
     Payload = the dense tile array serialized little-endian int64 (the
-    engine's raw grid format; a PNG encoder would slot in here).
+    engine's raw grid format; a PNG encoder would slot in here — note
+    fmt='bin' is engine-internal, OUTSIDE the MBTiles spec enum
+    png/jpg/pbf/webp, so spec-strict readers will refuse it until a real
+    encoder lands). Idempotent: re-writing a tile or re-running the sink
+    replaces rows instead of hitting the unique indexes.
     Returns tile count."""
     import numpy as np
 
     con = sqlite3.connect(path)
     cur = con.cursor()
     cur.execute("CREATE TABLE IF NOT EXISTS metadata (name text, value text)")
+    cur.execute(
+        "CREATE UNIQUE INDEX IF NOT EXISTS metadata_name ON metadata (name)"
+    )
     cur.execute(
         "CREATE TABLE IF NOT EXISTS tiles (zoom_level integer, "
         "tile_column integer, tile_row integer, tile_data blob)"
@@ -46,7 +53,7 @@ def write_mbtiles(
         "(zoom_level, tile_column, tile_row)"
     )
     for k, v in (("name", name), ("format", fmt), ("type", "overlay")):
-        cur.execute("INSERT INTO metadata VALUES (?, ?)", (k, v))
+        cur.execute("INSERT OR REPLACE INTO metadata VALUES (?, ?)", (k, v))
     n = 0
     # toLocalIterator: one partition in driver memory at a time
     for row in tiles.toLocalIterator():
@@ -55,7 +62,8 @@ def write_mbtiles(
             ty = (1 << z) - 1 - ty
         payload = np.asarray(row["tile"], dtype="<i8").tobytes()
         cur.execute(
-            "INSERT INTO tiles VALUES (?, ?, ?, ?)", (z, tx, ty, payload)
+            "INSERT OR REPLACE INTO tiles VALUES (?, ?, ?, ?)",
+            (z, tx, ty, payload),
         )
         n += 1
     con.commit()
