@@ -162,17 +162,27 @@ def run_warp_bench(spark, size: int = 4096) -> dict:
         "EPSG:4326", block=256,
     )
     # production rasters arrive as materialized block tables; generation
-    # is not part of the warp measurement
-    blocks = R.synthetic_raster(spark, src).persist()
+    # is not part of the warp measurement. Packed-binary blocks are the
+    # scale form (one contiguous buffer per block through Arrow).
+    blocks = R.synthetic_raster(spark, src, packed=True).persist()
     blocks.count()
-    out = {}
+    out = {"block_form": "packed-binary"}
     for resampling in ("near", "cubic"):
         R.warp(blocks, src, dst, resampling).count()  # warm workers/codegen
-        t0 = time.time()
-        n = R.warp(blocks, src, dst, resampling).count()
-        out[f"warp_{size}_{resampling}_sec"] = round(time.time() - t0, 3)
+        # best-of-3: this VM's walls drift up to ~4x run-to-run (throttle
+        # + first-touch stalls, BENCH/BASELINE.md); min is the honest
+        # steady-state capability, every raw rep is reported
+        reps = []
+        n = 0
+        for _ in range(3):
+            t0 = time.time()
+            n = R.warp(blocks, src, dst, resampling).count()
+            reps.append(round(time.time() - t0, 3))
+        best = min(reps)
+        out[f"warp_{size}_{resampling}_sec"] = best
+        out[f"warp_{size}_{resampling}_reps"] = reps
         out[f"warp_{size}_{resampling}_mpix_per_sec"] = round(
-            size * size / (time.time() - t0) / 1e6, 1
+            size * size / best / 1e6, 1
         )
         assert n == dst.nbx * dst.nby
     blocks.unpersist()

@@ -56,7 +56,11 @@ class RasterMeta:
 def raster_from_array(spark: SparkSession, arr: np.ndarray, gt, crs, block: int = 256,
                       nodata: float = 0.0):
     """Driver-side array -> (blocks DataFrame, RasterMeta). Test/fixture
-    path; production rasters arrive as block tables already."""
+    path; production rasters arrive as block tables already. Routed
+    through session.local_df so the fixture plans as a LocalRelation,
+    not a pickled-RDD scan re-evaluated per consumer."""
+    from ..session import local_df
+
     h, w = arr.shape
     meta = RasterMeta(w, h, tuple(float(g) for g in gt), crs, block, nodata)
     rows = []
@@ -65,18 +69,82 @@ def raster_from_array(spark: SparkSession, arr: np.ndarray, gt, crs, block: int 
             sub = arr[by * block : (by + 1) * block, bx * block : (bx + 1) * block]
             rows.append(
                 (bx, by, int(sub.shape[1]), int(sub.shape[0]),
-                 [float(v) for v in sub.ravel()])
+                 np.ascontiguousarray(sub, dtype=np.float64).ravel())
             )
-    df = spark.createDataFrame(
-        rows, "bx int, by int, w int, h int, block array<double>"
+    df = local_df(
+        spark, rows, "bx int, by int, w int, h int, block array<double>"
     )
     return df, meta
 
 
-def synthetic_raster(spark: SparkSession, meta: RasterMeta) -> DataFrame:
+# --- block transport formats -------------------------------------------
+#
+# Two block representations, one semantics:
+#   array<double> — the SQL-interop form: posexplode to pixels, JVM
+#     higher-order-function math (rastermath scale/reclassify), oracle
+#     queries. Costs Arrow list offsets + per-element handling in every
+#     Python transfer.
+#   binary (packed little-endian float64, row-major) — the scale form:
+#     one contiguous buffer per block, zero boxing, ~2x faster Arrow
+#     transport measured on the 2048^2 bench. This is what a 100 TB
+#     block table should store in parquet.
+# warp/stats kernels auto-detect the form from the schema; pack/unpack
+# convert between them.
+
+
+def _is_packed(blocks: DataFrame) -> bool:
+    from pyspark.sql.types import BinaryType
+
+    return isinstance(blocks.schema["block"].dataType, BinaryType)
+
+
+def pack_blocks(blocks: DataFrame) -> DataFrame:
+    """array<double> block table -> packed binary block table."""
+
+    def conv(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["block"] = [
+                np.ascontiguousarray(b, dtype="<f8").tobytes()
+                for b in pdf["block"]
+            ]
+            yield pdf
+
+    return blocks.mapInPandas(
+        conv, "bx int, by int, w int, h int, block binary"
+    )
+
+
+def unpack_blocks(blocks: DataFrame) -> DataFrame:
+    """packed binary block table -> array<double> block table."""
+
+    def conv(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["block"] = [
+                np.frombuffer(b, dtype="<f8") for b in pdf["block"]
+            ]
+            yield pdf
+
+    return blocks.mapInPandas(
+        conv, "bx int, by int, w int, h int, block array<double>"
+    )
+
+
+def _block_np(blk, h: int, w: int) -> np.ndarray:
+    """One block payload (either form) -> (h, w) float64 view."""
+    if isinstance(blk, (bytes, bytearray, memoryview)):
+        return np.frombuffer(blk, dtype="<f8").reshape(h, w)
+    return np.asarray(blk, dtype=np.float64).reshape(h, w)
+
+
+def synthetic_raster(
+    spark: SparkSession, meta: RasterMeta, packed: bool = False
+) -> DataFrame:
     """Executor-side deterministic raster: value = (row*7 + col*13) % 256
     (byte-range, GDT_Byte-like — the reference warp bench shape). Blocks
-    generate in parallel from spark.range, no driver data."""
+    generate in parallel from spark.range, no driver data. packed=True
+    emits the binary block form (the scale path)."""
     nbx, block = meta.nbx, meta.block
     width, height = meta.width, meta.height
 
@@ -95,14 +163,17 @@ def synthetic_raster(spark: SparkSession, meta: RasterMeta) -> DataFrame:
                     indexing="ij",
                 )
                 arr = ((jj * 7 + ii * 13) % 256).astype(np.float64)
-                rows.append((bx, by, w, h, arr.ravel()))
+                rows.append(
+                    (bx, by, w, h, arr.tobytes() if packed else arr.ravel())
+                )
             yield pd.DataFrame(
                 rows, columns=["bx", "by", "w", "h", "block"]
             )
 
-    return spark.range(meta.nbx * meta.nby).mapInPandas(
-        gen, "bx int, by int, w int, h int, block array<double>"
+    out_type = "bx int, by int, w int, h int, block " + (
+        "binary" if packed else "array<double>"
     )
+    return spark.range(meta.nbx * meta.nby).mapInPandas(gen, out_type)
 
 
 def raster_to_array(blocks: DataFrame, meta: RasterMeta) -> np.ndarray:
@@ -110,9 +181,9 @@ def raster_to_array(blocks: DataFrame, meta: RasterMeta) -> np.ndarray:
     out = np.full((meta.height, meta.width), meta.nodata, dtype=np.float64)
     for r in blocks.collect():
         x0, y0 = r["bx"] * meta.block, r["by"] * meta.block
-        out[y0 : y0 + r["h"], x0 : x0 + r["w"]] = np.array(
-            r["block"], dtype=np.float64
-        ).reshape(r["h"], r["w"])
+        out[y0 : y0 + r["h"], x0 : x0 + r["w"]] = _block_np(
+            r["block"], r["h"], r["w"]
+        )
     return out
 
 
@@ -130,8 +201,10 @@ def warp(
     dst: RasterMeta,
     resampling: str = "near",
 ) -> DataFrame:
-    """Warp a block raster onto the dst grid. Returns dst block rows."""
+    """Warp a block raster onto the dst grid. Returns dst block rows in
+    the same block form (array<double> or packed binary) as the input."""
     spark = src_blocks.sparkSession
+    packed = _is_packed(src_blocks)
     skel = _dst_skeleton(spark, dst)
 
     bs, sbs = dst.block, src.block
@@ -175,7 +248,9 @@ def warp(
         need = local_df(
             spark, rows, "dbx int, dby int, bx int, by int"
         )
+        full_cover = len({(x, y) for x, y, _, _ in rows}) == n_dst
     else:
+        full_cover = False
 
         @F.pandas_udf("array<struct<sbx:int,sby:int>>")
         def needed_blocks(dbx: pd.Series, dby: pd.Series) -> pd.Series:
@@ -208,11 +283,11 @@ def warp(
         x1 = min(int((pdf["bx"].max() + 1) * sbs), src_w)
         y1 = min(int((pdf["by"].max() + 1) * sbs), src_h)
         mosaic = np.full((y1 - y0, x1 - x0), nodata, dtype=np.float64)
-        for _, r in pdf.iterrows():
-            ox, oy = r["bx"] * sbs - x0, r["by"] * sbs - y0
-            mosaic[oy : oy + r["h"], ox : ox + r["w"]] = np.array(
-                r["block"], dtype=np.float64
-            ).reshape(r["h"], r["w"])
+        for sbx, sby, sw, sh, blk in zip(
+            pdf["bx"], pdf["by"], pdf["w"], pdf["h"], pdf["block"]
+        ):
+            ox, oy = sbx * sbs - x0, sby * sbs - y0
+            mosaic[oy : oy + sh, ox : ox + sw] = _block_np(blk, sh, sw)
         dst_block_gt = (
             dst_gt[0] + dbx * bs * dst_gt[1],
             dst_gt[1],
@@ -226,21 +301,34 @@ def warp(
             resampling, nodata, src_x0=x0, src_y0=y0,
             src_total_w=src_w, src_total_h=src_h,
         )
+        payload = (
+            np.ascontiguousarray(out, dtype="<f8").tobytes()
+            if packed
+            else out.ravel()
+        )
         return pd.DataFrame(
             {
                 "bx": [dbx], "by": [dby], "w": [dw], "h": [dh],
-                "block": [out.ravel()],
+                "block": [payload],
             }
         )
 
-    warped = joined.groupBy("dbx", "dby").applyInPandas(
-        warp_group, "bx int, by int, w int, h int, block array<double>"
+    block_ddl = "bx int, by int, w int, h int, block " + (
+        "binary" if packed else "array<double>"
     )
+    warped = joined.groupBy("dbx", "dby").applyInPandas(warp_group, block_ddl)
+    if full_cover:
+        # every dst block has src coverage: no nodata-fill branch needed
+        return warped
     # dst blocks with no src coverage still exist in the output raster,
-    # filled with nodata (gdalwarp initializes the full dst extent)
-    empty = (
+    # filled with nodata (gdalwarp initializes the full dst extent).
+    # Coverage is decided from `need` (every needed key matches a src
+    # block, so it equals the warp output keys) — anti-joining against
+    # `warped` itself would re-execute the warp UDF a second time just to
+    # learn which keys exist.
+    empty_skel = (
         skel.join(
-            warped.select(F.col("bx").alias("dbx"), F.col("by").alias("dby")),
+            need.select("dbx", "dby").distinct(),
             ["dbx", "dby"],
             "left_anti",
         )
@@ -254,10 +342,24 @@ def warp(
             .cast("int")
             .alias("h"),
         )
-        .withColumn(
-            "block", F.array_repeat(F.lit(float(nodata)), F.col("w") * F.col("h"))
-        )
     )
+    if packed:
+
+        def fill(it):
+            for pdf in it:
+                pdf = pdf.copy()
+                pdf["block"] = [
+                    np.full(int(w) * int(h), nodata, dtype="<f8").tobytes()
+                    for w, h in zip(pdf["w"], pdf["h"])
+                ]
+                yield pdf
+
+        empty = empty_skel.mapInPandas(fill, block_ddl)
+    else:
+        empty = empty_skel.withColumn(
+            "block",
+            F.array_repeat(F.lit(float(nodata)), F.col("w") * F.col("h")),
+        )
     return warped.unionByName(empty)
 
 
