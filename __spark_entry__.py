@@ -30,6 +30,7 @@ from gdal_spark.operators.pip_join import pip_join_broadcast, pip_join_bucketed
 from gdal_spark.operators.zones import (
     zones_df,
     zones_fishnet_oracle_sql,
+    zones_intersection_oracle_sql,
     zones_oracle_match_sql,
     zones_polygonize_oracle_sql,
     zones_polygonize_wkt_oracle_sql,
@@ -1976,6 +1977,29 @@ OVERLAY_ZONES = (101, 102, 104, 105, 107, 108, 109)  # axis-aligned
 OVERLAY_CELL = 0.05
 
 
+OVERLAY_XZ_ZONES = (101, 102, 104, 105, 107, 108, 109, 110)  # axis-aligned
+OVERLAY_XZ_SHIFT = 0.03
+
+
+def q_overlay_intersection(spark, sf_dir):
+    """Zone x zone layer-algebra Intersection (ogrlayer.cpp:3345):
+    zones vs the same layer translated by 0.03 deg — cell-bucketed
+    candidate pairs, trapezoid-decomposition + Sutherland-Hodgman exact
+    clip (kernels/polyclip.py). Self-overlaps cut through the holed zone
+    104 and both members of multipart 105; oracle is inclusion-exclusion
+    over the signed-rectangle decompositions."""
+    from gdal_spark.operators.overlay import overlay_intersection
+    from gdal_spark.operators.zones import shifted_zones_df
+
+    ids = list(OVERLAY_XZ_ZONES)
+    a = zones_df(spark).filter(F.col("zone_id").isin(ids))
+    b = shifted_zones_df(spark, OVERLAY_XZ_SHIFT, OVERLAY_XZ_SHIFT, ids)
+    out = overlay_intersection(a, b, cell=1.0)
+    return out.select(
+        "zone_a", "zone_b", F.round("area", 9).alias("area")
+    )
+
+
 def q_overlay_fishnet(spark, sf_dir):
     """Layer-algebra Intersection vs a fishnet grid (ogrlayer.cpp:3345
     nested-loop semantics as a cell-keyed two-phase join + exact
@@ -2119,6 +2143,7 @@ _QUERIES = {
         "polygonize_polys": q_polygonize_polys,
         "footprint": q_footprint,
         "overlay_fishnet": q_overlay_fishnet,
+        "overlay_intersection": q_overlay_intersection,
         "warp_near": q_warp_near,
         "hex_index": q_hex_index,
         "s2_index": q_s2_index,
@@ -2314,6 +2339,9 @@ def oracle_sql() -> dict[str, str]:
             POLYGONIZE_ZOOM, POLYGONIZE_ZONES
         ),
         "overlay_fishnet": zones_fishnet_oracle_sql(OVERLAY_CELL, OVERLAY_ZONES),
+        "overlay_intersection": zones_intersection_oracle_sql(
+            OVERLAY_XZ_SHIFT, OVERLAY_XZ_SHIFT, OVERLAY_XZ_ZONES
+        ),
         "footprint": f"""
             SELECT component, n_rings, area_px, wkt_px FROM (
               {zones_polygonize_wkt_oracle_sql(POLYGONIZE_ZOOM, POLYGONIZE_ZONES)}

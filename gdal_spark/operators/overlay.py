@@ -101,6 +101,122 @@ def fishnet_overlay(
     return cand.mapInPandas(refine, out_type)
 
 
+def overlay_intersection(
+    a: DataFrame,
+    b: DataFrame,
+    cell: float = 1.0,
+    keep_wkb: bool = False,
+) -> DataFrame:
+    """Zone x zone layer-algebra Intersection
+    (/root/reference/ogr/ogrlayer.cpp:3345): every (feature of a,
+    feature of b) pair with a nonzero intersection ->
+    (zone_a, zone_b, area [, wkb]).
+
+    Phase 1 (candidates, all JVM): both layers' envelopes explode to the
+    `cell`-sized grid cells their bbox touches and equi-join on the cell
+    id — the same cell-keyed shuffle discipline as the PIP join, so at
+    10^12 scale pairs distribute by cell and no all-pairs product ever
+    forms. A pair whose bboxes span several shared cells is kept only in
+    the canonical first overlap cell (floor(max(minx_a, minx_b)/cell),
+    same for y), so the refine sees each pair exactly once without a
+    distinct shuffle.
+
+    Phase 2 (exact): kernels/polyclip.intersect_polygons — the method
+    polygon trapezoid-decomposes (concavity/holes/multiparts all
+    handled), the subject clips against each convex trapezoid with
+    vectorized Sutherland-Hodgman. Areas are exact; keep_wkb emits the
+    banded piece multipolygon (see polyclip docstring)."""
+    from ..kernels import polyclip as PC
+    from .pip_join import _zone_envelopes
+
+    def cells(df, prefix):
+        e = _zone_envelopes(df)
+        return (
+            e.withColumn(
+                "cx",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("minx") / cell).cast("long"),
+                        F.floor(F.col("maxx") / cell).cast("long"),
+                    )
+                ),
+            )
+            .withColumn(
+                "cy",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("miny") / cell).cast("long"),
+                        F.floor(F.col("maxy") / cell).cast("long"),
+                    )
+                ),
+            )
+            .select(
+                F.col("zone_id").alias(f"{prefix}_id"),
+                F.col("geometry").alias(f"{prefix}_geom"),
+                F.col("minx").alias(f"{prefix}_minx"),
+                F.col("miny").alias(f"{prefix}_miny"),
+                F.col("maxx").alias(f"{prefix}_maxx"),
+                F.col("maxy").alias(f"{prefix}_maxy"),
+                "cx",
+                "cy",
+            )
+        )
+
+    cand = (
+        cells(a, "a")
+        .join(cells(b, "b"), ["cx", "cy"])
+        .filter(
+            (F.col("a_minx") <= F.col("b_maxx"))
+            & (F.col("b_minx") <= F.col("a_maxx"))
+            & (F.col("a_miny") <= F.col("b_maxy"))
+            & (F.col("b_miny") <= F.col("a_maxy"))
+            # canonical-cell dedup: keep the pair only where the shared
+            # bbox overlap starts
+            & (
+                F.col("cx")
+                == F.floor(F.greatest("a_minx", "b_minx") / cell).cast("long")
+            )
+            & (
+                F.col("cy")
+                == F.floor(F.greatest("a_miny", "b_miny") / cell).cast("long")
+            )
+        )
+        .select("a_id", "a_geom", "b_id", "b_geom")
+    )
+
+    cols = ["zone_a", "zone_b", "area"] + (["wkb"] if keep_wkb else [])
+    out_type = "zone_a long, zone_b long, area double" + (
+        ", wkb binary" if keep_wkb else ""
+    )
+
+    def refine(it):
+        dec: dict = {}
+
+        def decode(buf):
+            buf = bytes(buf)
+            p = dec.get(buf)
+            if p is None:
+                p = W.decode_polygons(buf)
+                dec[buf] = p
+            return p
+
+        for pdf in it:
+            rows = []
+            for aid, ag, bid, bg in zip(
+                pdf["a_id"], pdf["a_geom"], pdf["b_id"], pdf["b_geom"]
+            ):
+                area, parts = PC.intersect_polygons(decode(ag), decode(bg))
+                if area <= 0.0:
+                    continue
+                row = [int(aid), int(bid), float(area)]
+                if keep_wkb:
+                    row.append(CL.parts_wkb(parts))
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return cand.mapInPandas(refine, out_type)
+
+
 def clip_rect(zones: DataFrame, minx, miny, maxx, maxy) -> DataFrame:
     """`gdal vector clip`-style single-rect clip: every zone clipped to
     the rect, keeping intersection area + WKB (rows with empty

@@ -326,6 +326,70 @@ def zones_fishnet_oracle_sql(cell: float, zone_ids) -> str:
     """
 
 
+def shifted_zones_df(spark, dx: float, dy: float, zone_ids=None):
+    """The zones layer translated by (dx, dy) — the method layer for the
+    zone x zone intersection oracle (a second layer with guaranteed
+    interesting overlaps: self-overlaps cut through holes and multipart
+    members)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    z = zones_df(spark).select("zone_id", "geometry")
+    if zone_ids is not None:
+        z = z.filter(F.col("zone_id").isin(list(zone_ids)))
+
+    def shift(it):
+        for pdf in it:
+            out = []
+            for buf in pdf["geometry"]:
+                polys = W.decode_polygons(bytes(buf))
+                moved = [
+                    [ring + [dx, dy] for ring in rings] for rings in polys
+                ]
+                out.append(
+                    W.polygon_wkb(moved[0])
+                    if len(moved) == 1
+                    else W.multipolygon_wkb(moved)
+                )
+            pdf = pdf.copy()
+            pdf["geometry"] = out
+            yield pdf
+
+    return z.mapInPandas(shift, "zone_id long, geometry binary")
+
+
+def zones_intersection_oracle_sql(dx: float, dy: float, zone_ids) -> str:
+    """Closed-form DuckDB oracle for overlay_intersection(zones,
+    shifted_zones): area(A ∩ (B + d)) by inclusion-exclusion over the
+    signed-rectangle decompositions — indicator products give
+    area = sum_i sum_j s_i * s_j * |r_i ∩ (r_j + d)|, exact for the
+    axis-aligned zones (holes and multiparts included)."""
+    terms = zone_rect_terms()
+    parts = []
+    for za in zone_ids:
+        for zb in zone_ids:
+            for (ax0, ay0, ax1, ay1), sa in terms[za]:
+                for (bx0, by0, bx1, by1), sb in terms[zb]:
+                    w = (
+                        f"GREATEST(LEAST({ax1!r}, {bx1!r} + {dx!r}) - "
+                        f"GREATEST({ax0!r}, {bx0!r} + {dx!r}), 0.0)"
+                    )
+                    h = (
+                        f"GREATEST(LEAST({ay1!r}, {by1!r} + {dy!r}) - "
+                        f"GREATEST({ay0!r}, {by0!r} + {dy!r}), 0.0)"
+                    )
+                    parts.append(
+                        f"SELECT {za} AS za, {zb} AS zb, "
+                        f"{sa * sb} * {w} * {h} AS a"
+                    )
+    return f"""
+      SELECT CAST(za AS BIGINT) AS zone_a, CAST(zb AS BIGINT) AS zone_b,
+             ROUND(SUM(a), 9) AS area
+      FROM ({" UNION ALL ".join(parts)})
+      GROUP BY za, zb HAVING SUM(a) > 0
+    """
+
+
 def zones_oracle_match_sql(page_rel: str = "pages", cols: str = "doc_id") -> str:
     """DuckDB SQL: all (page, zone_id) containment pairs as UNION ALL of
     per-zone predicate selects over `page_rel` (needs lat/lon columns)."""

@@ -85,3 +85,50 @@ def test_fishnet_triangle_total_area(spark):
         assert maxx <= (r["fx"] + 1) * 0.05 + 1e-12
         assert miny >= r["fy"] * 0.05 - 1e-12
         assert maxy <= (r["fy"] + 1) * 0.05 + 1e-12
+
+
+def test_polyclip_kernel_analytic():
+    """General polygon x polygon intersection: concave, holed, and
+    multipart method polygons against analytic areas."""
+    from gdal_spark.kernels import polyclip as PC
+    from gdal_spark.kernels.clip import parts_wkb
+
+    sq = lambda x0, y0, x1, y1: np.array(
+        [(x0, y0), (x1, y0), (x1, y1), (x0, y1)], float
+    )
+    big = [[sq(-1, -1, 4, 4)]]
+    # concave L as method AND as subject
+    L = [[np.array([(0, 0), (3, 0), (3, 1), (1, 1), (1, 3), (0, 3)], float)]]
+    assert abs(PC.intersect_polygons(big, L)[0] - 5.0) < 1e-12
+    assert abs(PC.intersect_polygons(L, big)[0] - 5.0) < 1e-12
+    # holed method; holed subject
+    holed = [[sq(0, 0, 4, 4), sq(1, 1, 3, 3)]]
+    assert abs(PC.intersect_polygons(big, holed)[0] - 12.0) < 1e-12
+    a, parts = PC.intersect_polygons(holed, [[sq(0, 0, 2, 0 + 4)]])
+    assert abs(a - 6.0) < 1e-12
+    # piece WKB decodes back to the same total area
+    assert abs(W.shoelace_area(parts_wkb(parts)) - a) < 1e-12
+    # multipart subject
+    mp = [[sq(0, 0, 1, 1)], [sq(2, 0, 3, 1)]]
+    a, parts = PC.intersect_polygons(mp, [[sq(0.5, 0, 2.5, 1)]])
+    assert abs(a - 1.0) < 1e-12 and len(parts) == 2
+    # triangle x rect (non-axis-aligned subject edge)
+    tri = [[np.array([(0, 0), (2, 0), (1, 2)], float)]]
+    assert abs(PC.intersect_polygons(tri, [[sq(0, 0, 2, 1)]])[0] - 1.5) < 1e-12
+
+
+def test_overlay_intersection_operator(spark):
+    """Triangle zone x shifted triangle zone: analytic self-overlap area
+    (the engine query's oracle covers the axis-aligned zones; this
+    covers the slanted-edge case SQL can't)."""
+    from gdal_spark.operators.overlay import overlay_intersection
+    from gdal_spark.operators.zones import shifted_zones_df
+
+    z = zones_df(spark).filter(F.col("zone_id") == 103)
+    b = shifted_zones_df(spark, 0.0, 0.0, [103])  # identity shift
+    out = overlay_intersection(z, b, cell=0.5, keep_wkb=True).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["zone_a"] == 103 and r["zone_b"] == 103
+    assert abs(r["area"] - TRI_AREA) < 1e-10
+    assert abs(W.shoelace_area(bytes(r["wkb"])) - TRI_AREA) < 1e-10
