@@ -1318,6 +1318,256 @@ def _raster_mosaic_oracle() -> str:
     """
 
 
+def _px_grid(out, n_block=32, *cols):
+    return out.select("bx", "by", F.posexplode("block").alias("idx", "val")).select(
+        (F.col("bx") * n_block + F.col("idx") % n_block).alias("gx"),
+        (F.col("by") * n_block + (F.col("idx") / n_block).cast("int")).alias("gy"),
+        *cols,
+    )
+
+
+def q_raster_unscale(spark, sf_dir):
+    """`gdal raster unscale` (apps/gdalalg_raster_unscale.cpp): apply
+    band Scale/Offset metadata — raw*scale + offset, one transform()."""
+    from gdal_spark.operators import raster as R
+    from gdal_spark.operators.rastermath import unscale_blocks
+
+    meta = R.RasterMeta(HILLSHADE_N, HILLSHADE_N, HILLSHADE_GT, "EPSG:3857", block=32)
+    out = unscale_blocks(R.synthetic_raster(spark, meta), 0.125, -12.5)
+    return _px_grid(out, 32, "val")
+
+
+def q_raster_settype(spark, sf_dir):
+    """`gdal raster set-type Byte` with GDALCopyWord semantics
+    (gdal_priv_templates.hpp:430-465: +0.5, clamp [0,255], truncate) —
+    fed fractional/negative values via a scale step first."""
+    from gdal_spark.operators import raster as R
+    from gdal_spark.operators.rastermath import scale_blocks, set_type_blocks
+
+    meta = R.RasterMeta(HILLSHADE_N, HILLSHADE_N, HILLSHADE_GT, "EPSG:3857", block=32)
+    out = set_type_blocks(
+        scale_blocks(R.synthetic_raster(spark, meta), 0.7, -20.0), "Byte"
+    )
+    return _px_grid(out, 32, "val")
+
+
+def _raster_b_expr():
+    return (
+        "transform(sequence(0, size(block) - 1), "
+        "i -> CAST((((by * 32 + i div 32) * 3 + (bx * 32 + i % 32) * 11) % 256) AS DOUBLE))"
+    )
+
+
+def q_raster_stack(spark, sf_dir):
+    """`gdal raster stack` (apps/gdalalg_raster_stack.cpp): same-grid
+    band merge — equi-join on block keys, no data rewrite."""
+    from gdal_spark.operators import raster as R
+    from gdal_spark.operators.rastermath import stack_blocks
+
+    meta = R.RasterMeta(HILLSHADE_N, HILLSHADE_N, HILLSHADE_GT, "EPSG:3857", block=32)
+    a = R.synthetic_raster(spark, meta)
+    b = R.synthetic_raster(spark, meta).withColumn("block", F.expr(_raster_b_expr()))
+    out = stack_blocks([a, b])
+    return (
+        out.select(
+            "bx", "by",
+            F.posexplode(
+                F.arrays_zip(F.col("block_1").alias("v1"), F.col("block_2").alias("v2"))
+            ).alias("idx", "z"),
+        )
+        .select(
+            (F.col("bx") * 32 + F.col("idx") % 32).alias("gx"),
+            (F.col("by") * 32 + (F.col("idx") / 32).cast("int")).alias("gy"),
+            F.col("z.v1").alias("v1"), F.col("z.v2").alias("v2"),
+        )
+    )
+
+
+def q_pansharpen(spark, sf_dir):
+    """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp:601): band_i *
+    pan / (w1*s1 + w2*s2), zero pseudo-pan -> 0 (ComputeFactor:576)."""
+    from gdal_spark.operators import raster as R
+    from gdal_spark.operators.rastermath import pansharpen_blocks
+
+    meta = R.RasterMeta(HILLSHADE_N, HILLSHADE_N, HILLSHADE_GT, "EPSG:3857", block=32)
+    pan = R.synthetic_raster(spark, meta)
+    s1 = R.synthetic_raster(spark, meta).withColumn("block", F.expr(_raster_b_expr()))
+    s2 = R.synthetic_raster(spark, meta).withColumn(
+        "block",
+        F.expr(
+            "transform(sequence(0, size(block) - 1), "
+            "i -> CAST((((by * 32 + i div 32) * 5 + (bx * 32 + i % 32) * 17) % 256) AS DOUBLE))"
+        ),
+    )
+    out = pansharpen_blocks(pan, [s1, s2], [0.6, 0.4])
+    return (
+        out.select(
+            "bx", "by",
+            F.posexplode(
+                F.arrays_zip(F.col("block_1").alias("b1"), F.col("block_2").alias("b2"))
+            ).alias("idx", "z"),
+        )
+        .select(
+            (F.col("bx") * 32 + F.col("idx") % 32).alias("gx"),
+            (F.col("by") * 32 + (F.col("idx") / 32).cast("int")).alias("gy"),
+            F.round(F.col("z.b1"), 6).alias("b1"),
+            F.round(F.col("z.b2"), 6).alias("b2"),
+        )
+    )
+
+
+RESIZE_W, RESIZE_H = 96, 80
+
+
+def q_raster_resize(spark, sf_dir):
+    """`gdal raster resize` (apps/gdalalg_raster_resize.cpp): same
+    extent, new grid — a warp onto the scaled geotransform (nearest)."""
+    from gdal_spark.operators import raster as R
+
+    meta = R.RasterMeta(HILLSHADE_N, HILLSHADE_N, HILLSHADE_GT, "EPSG:3857", block=32)
+    out, _ = R.resize(
+        R.synthetic_raster(spark, meta), meta, RESIZE_W, RESIZE_H, "near"
+    )
+    return _px_grid(out, 32, F.col("val").cast("long").alias("val"))
+
+
+def q_warp_mode(spark, sf_dir):
+    """Mode resampler (gdalwarpkernel.cpp:6502 GWKAverageOrModeThread)
+    on a strict-majority fixture: integer 4x downscale, every 4x4 box
+    holds 11 base-valued pixels and 5 distinct singletons, so the
+    path-dependent tie rule can never fire and the mode is analytic."""
+    from gdal_spark.operators import raster as R
+
+    meta = R.RasterMeta(HILLSHADE_N, HILLSHADE_N, HILLSHADE_GT, "EPSG:3857", block=32)
+    fix = R.synthetic_raster(spark, meta).withColumn(
+        "block",
+        F.expr(
+            "transform(sequence(0, size(block) - 1), i -> "
+            "CAST(CASE WHEN ((by * 32 + i div 32) % 4) * 4 + ((bx * 32 + i % 32) % 4) < 5 "
+            "THEN (((by * 32 + i div 32) div 4) * 7 + ((bx * 32 + i % 32) div 4) * 13) % 256 "
+            "     + 1 + ((by * 32 + i div 32) % 4) * 4 + ((bx * 32 + i % 32) % 4) "
+            "ELSE (((by * 32 + i div 32) div 4) * 7 + ((bx * 32 + i % 32) div 4) * 13) % 256 "
+            "END AS DOUBLE))"
+        ),
+    )
+    out, _ = R.resize(fix, meta, HILLSHADE_N // 4, HILLSHADE_N // 4, "mode")
+    return _px_grid(out, 32, F.col("val").cast("long").alias("val"))
+
+
+FILLND_R = 4
+
+
+def q_fill_nodata(spark, sf_dir):
+    """`gdal raster fill-nodata` (alg/rasterfill.cpp), deterministic
+    bounded-radius variant: 1/distance IDW over every valid pixel within
+    euclidean max_dist (the reference's weighting without its scan-order
+    quadrant approximation — documented in operators/fillnodata.py)."""
+    from gdal_spark.operators import raster as R
+    from gdal_spark.operators.fillnodata import fill_nodata
+
+    meta = R.RasterMeta(
+        HILLSHADE_N, HILLSHADE_N, HILLSHADE_GT, "EPSG:3857", block=32, nodata=-1.0
+    )
+    holed = R.synthetic_raster(spark, meta).withColumn(
+        "block",
+        F.expr(
+            "transform(block, x -> CASE WHEN x % 7 = CAST(0 AS DOUBLE) "
+            "THEN CAST(-1 AS DOUBLE) ELSE x END)"
+        ),
+    )
+    out = fill_nodata(holed, meta, FILLND_R)
+    return _px_grid(out, 32, F.round("val", 6).alias("val"))
+
+
+def _raster_unscale_oracle() -> str:
+    return f"""
+      SELECT gx, gy, {_raster_v_sql()} * CAST(0.125 AS DOUBLE) + CAST(-12.5 AS DOUBLE) AS val
+      FROM {_raster_grid_sql(HILLSHADE_N)}
+    """
+
+
+def _raster_settype_oracle() -> str:
+    return f"""
+      SELECT gx, gy,
+             TRUNC(LEAST(GREATEST(v + 0.5, CAST(0 AS DOUBLE)), CAST(255 AS DOUBLE))) AS val
+      FROM (SELECT gx, gy, {_raster_v_sql()} * CAST(0.7 AS DOUBLE) + CAST(-20.0 AS DOUBLE) AS v
+            FROM {_raster_grid_sql(HILLSHADE_N)})
+    """
+
+
+def _raster_stack_oracle() -> str:
+    return f"""
+      SELECT gx, gy, {_raster_v_sql()} AS v1,
+             CAST(((gy * 3 + gx * 11) % 256) AS DOUBLE) AS v2
+      FROM {_raster_grid_sql(HILLSHADE_N)}
+    """
+
+
+def _pansharpen_oracle() -> str:
+    s1 = "CAST(((gy * 3 + gx * 11) % 256) AS DOUBLE)"
+    s2 = "CAST(((gy * 5 + gx * 17) % 256) AS DOUBLE)"
+    pan = _raster_v_sql()
+    ps = f"(CAST(0.6 AS DOUBLE) * {s1} + CAST(0.4 AS DOUBLE) * {s2})"
+    f_ = f"(CASE WHEN {ps} = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) ELSE {pan} / {ps} END)"
+    return f"""
+      SELECT gx, gy, ROUND({s1} * {f_}, 6) AS b1, ROUND({s2} * {f_}, 6) AS b2
+      FROM {_raster_grid_sql(HILLSHADE_N)}
+    """
+
+
+def _raster_resize_oracle() -> str:
+    from gdal_spark.kernels.geotransform import inv_geotransform
+
+    g = HILLSHADE_GT
+    n = HILLSHADE_N
+    dst_gt1 = g[1] * n / RESIZE_W
+    dst_gt5 = g[5] * n / RESIZE_H
+    inv = inv_geotransform(g)
+    sx = f"({inv[0]!r} + ({g[0]!r} + (gx + 0.5) * {dst_gt1!r}) * {inv[1]!r})"
+    sy = f"({inv[3]!r} + ({g[3]!r} + (gy + 0.5) * {dst_gt5!r}) * {inv[5]!r})"
+    return f"""
+      SELECT CAST(x.range AS BIGINT) AS gx, CAST(y.range AS BIGINT) AS gy,
+             (LEAST(CAST(FLOOR({sy} + 1e-10) AS BIGINT), {n - 1}) * 7
+              + LEAST(CAST(FLOOR({sx} + 1e-10) AS BIGINT), {n - 1}) * 13) % 256 AS val
+      FROM range(0, {RESIZE_W}) x, range(0, {RESIZE_H}) y
+    """
+
+
+def _warp_mode_oracle() -> str:
+    m = HILLSHADE_N // 4
+    return f"""
+      SELECT CAST(x.range AS BIGINT) AS gx, CAST(y.range AS BIGINT) AS gy,
+             (y.range * 7 + x.range * 13) % 256 AS val
+      FROM range(0, {m}) x, range(0, {m}) y
+    """
+
+
+def _fill_nodata_oracle() -> str:
+    r2 = FILLND_R * FILLND_R
+    return f"""
+      WITH m AS (
+        SELECT gx, gy,
+               CASE WHEN {_raster_v_sql()} % 7 = 0 THEN NULL ELSE {_raster_v_sql()} END AS v
+        FROM {_raster_grid_sql(HILLSHADE_N)}
+      ),
+      fills AS (
+        SELECT a.gx, a.gy,
+               SUM(b.v / SQRT(CAST((a.gx - b.gx) * (a.gx - b.gx)
+                                 + (a.gy - b.gy) * (a.gy - b.gy) AS DOUBLE)))
+               / SUM(1.0 / SQRT(CAST((a.gx - b.gx) * (a.gx - b.gx)
+                                   + (a.gy - b.gy) * (a.gy - b.gy) AS DOUBLE))) AS fv
+        FROM m a JOIN m b
+          ON a.v IS NULL AND b.v IS NOT NULL
+         AND (a.gx - b.gx) * (a.gx - b.gx) + (a.gy - b.gy) * (a.gy - b.gy) <= {r2}
+        GROUP BY a.gx, a.gy
+      )
+      SELECT a.gx, a.gy,
+             ROUND(CASE WHEN a.v IS NOT NULL THEN a.v
+                        ELSE COALESCE(f.fv, CAST(-1 AS DOUBLE)) END, 6) AS val
+      FROM m a LEFT JOIN fills f ON a.gx = f.gx AND a.gy = f.gy
+    """
+
+
 VIEWSHED_NX, VIEWSHED_NY, VIEWSHED_OX, VIEWSHED_OY = 64, 9, 32, 4
 
 
@@ -2180,6 +2430,13 @@ _QUERIES = {
         "viewshed_row": q_viewshed_row,
         "raster_reclassify": q_raster_reclassify,
         "raster_colormap": q_raster_colormap,
+        "raster_unscale": q_raster_unscale,
+        "raster_settype": q_raster_settype,
+        "raster_stack": q_raster_stack,
+        "pansharpen": q_pansharpen,
+        "raster_resize": q_raster_resize,
+        "warp_mode": q_warp_mode,
+        "fill_nodata": q_fill_nodata,
         "swap_xy": q_swap_xy,
         "explode_collections": q_explode_collections,
         "sample_nearest": q_sample_nearest,
@@ -2460,6 +2717,13 @@ def oracle_sql() -> dict[str, str]:
         "viewshed_row": _viewshed_row_oracle(),
         "raster_reclassify": _raster_reclassify_oracle(),
         "raster_colormap": _raster_colormap_oracle(),
+        "raster_unscale": _raster_unscale_oracle(),
+        "raster_settype": _raster_settype_oracle(),
+        "raster_stack": _raster_stack_oracle(),
+        "pansharpen": _pansharpen_oracle(),
+        "raster_resize": _raster_resize_oracle(),
+        "warp_mode": _warp_mode_oracle(),
+        "fill_nodata": _fill_nodata_oracle(),
         "swap_xy": _swap_xy_oracle(),
         "explode_collections": _explode_collections_oracle(),
         "sample_nearest": _sample_nearest_oracle(),

@@ -363,6 +363,31 @@ def warp(
     return warped.unionByName(empty)
 
 
+def resize(
+    src_blocks: DataFrame,
+    src: RasterMeta,
+    out_w: int,
+    out_h: int,
+    resampling: str = "near",
+):
+    """`gdal raster resize` (apps/gdalalg_raster_resize.cpp): same
+    extent and CRS, new pixel grid — exactly a warp onto the scaled
+    geotransform, so all 14 resamplers apply. Returns (blocks, meta)."""
+    g = src.gt
+    dst = RasterMeta(
+        out_w,
+        out_h,
+        (
+            g[0], g[1] * src.width / out_w, g[2],
+            g[3], g[4], g[5] * src.height / out_h,
+        ),
+        src.crs,
+        src.block,
+        src.nodata,
+    )
+    return warp(src_blocks, src, dst, resampling), dst
+
+
 from pyspark.sql.types import StringType as _StringType
 
 

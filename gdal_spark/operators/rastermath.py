@@ -72,6 +72,110 @@ def mosaic_blocks(sources, nodata: float) -> DataFrame:
     )
 
 
+def unscale_blocks(blocks: DataFrame, scale: float, offset: float) -> DataFrame:
+    """`gdal raster unscale` (apps/gdalalg_raster_unscale.cpp): apply the
+    band's Scale/Offset metadata — out = raw * scale + offset — so the
+    stored integer codes become physical values. Same transform() shape
+    as scale_blocks but with the band-metadata semantics."""
+    return blocks.withColumn(
+        "block",
+        F.expr(
+            f"transform(block, x -> x * CAST({scale!r} AS DOUBLE) "
+            f"+ CAST({offset!r} AS DOUBLE))"
+        ),
+    )
+
+
+_TYPE_LIMITS = {
+    # GDALGetDataLimits (gcore/gdal_priv_templates.hpp): (min, max, signed)
+    "Byte": (0.0, 255.0, False),
+    "UInt16": (0.0, 65535.0, False),
+    "Int16": (-32768.0, 32767.0, True),
+    "Int32": (-2147483648.0, 2147483647.0, True),
+}
+
+
+def set_type_blocks(blocks: DataFrame, dtype: str) -> DataFrame:
+    """`gdal raster set-type` with GDALCopyWord conversion semantics
+    (gcore/gdal_priv_templates.hpp:650-700): signed ints round half AWAY
+    from zero (x>0 ? x+0.5 : x-0.5, clamp, truncate), unsigned ints add
+    0.5 then clamp then truncate, Float32 is a precision-dropping cast.
+    Values stay in the double block payload (the engine's working type),
+    exactly representing every integral/float32 result."""
+    if dtype == "Float32":
+        return blocks.withColumn(
+            "block",
+            F.expr("transform(block, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))"),
+        )
+    mn, mx, signed = _TYPE_LIMITS[dtype]
+    rounded = (
+        "CASE WHEN x > CAST(0 AS DOUBLE) THEN x + 0.5 ELSE x - 0.5 END"
+        if signed
+        else "x + 0.5"
+    )
+    return blocks.withColumn(
+        "block",
+        F.expr(
+            # CAST(double AS BIGINT) truncates toward zero == static_cast
+            f"transform(block, x -> CAST(CAST(LEAST(GREATEST({rounded}, "
+            f"CAST({mn!r} AS DOUBLE)), CAST({mx!r} AS DOUBLE)) AS BIGINT) AS DOUBLE))"
+        ),
+    )
+
+
+def stack_blocks(sources) -> DataFrame:
+    """`gdal raster stack` (apps/gdalalg_raster_stack.cpp): combine
+    same-grid single-band rasters into one multi-band block table —
+    (bx, by, w, h, block_1..block_n). Pure equi-join on block keys, no
+    Python; bands stay co-partitioned for downstream zip_with math."""
+    out = None
+    for i, src in enumerate(sources, start=1):
+        s = src.withColumnRenamed("block", f"block_{i}")
+        if out is None:
+            out = s
+        else:
+            out = out.join(s, ["bx", "by", "w", "h"])
+    return out
+
+
+def pansharpen_blocks(
+    pan: DataFrame, spectral, weights=None
+) -> DataFrame:
+    """Weighted-Brovey pansharpening (alg/gdalpansharpen.cpp:601
+    WeightedBrovey): pseudo_pan = sum_i w_i * spectral_i,
+    factor = pan / pseudo_pan (0 when pseudo_pan == 0, ComputeFactor
+    :576), out_i = spectral_i * factor. Inputs must share the grid (the
+    reference upsamples spectral bands to the pan grid first — compose
+    with resize()). All JVM zip_with lambdas, zero Python."""
+    n = len(spectral)
+    if weights is None:
+        weights = [1.0 / n] * n
+    stacked = stack_blocks([pan] + list(spectral))  # block_1 = pan
+    pseudo = "transform(block_1, x -> CAST(0 AS DOUBLE))"
+    for i, w in enumerate(weights, start=2):
+        pseudo = (
+            f"zip_with({pseudo}, block_{i}, "
+            f"(a, s) -> a + CAST({w!r} AS DOUBLE) * s)"
+        )
+    stacked = stacked.withColumn(
+        "factor",
+        F.expr(
+            f"zip_with(block_1, {pseudo}, "
+            "(p, ps) -> CASE WHEN ps = CAST(0 AS DOUBLE) "
+            "THEN CAST(0 AS DOUBLE) ELSE p / ps END)"
+        ),
+    )
+    cols = ["bx", "by", "w", "h"]
+    out_cols = [F.col(c) for c in cols]
+    for i in range(2, n + 2):
+        out_cols.append(
+            F.expr(f"zip_with(block_{i}, factor, (s, f) -> s * f)").alias(
+                f"block_{i - 1}"
+            )
+        )
+    return stacked.select(*out_cols)
+
+
 def color_map_blocks(blocks: DataFrame, stops) -> DataFrame:
     """stops: sorted list of (threshold, r, g, b); each pixel takes the
     color of the LAST stop with threshold <= value (gdaldem color-relief
