@@ -11,15 +11,20 @@ with cycle detection; isolated/unmergable small polygons stay unchanged
 
 Distributed shape: component labels + sizes come from the polygonize
 machinery (perimeter-scaled joins); adjacency edges from one neighbor
-equi-join on (gx, gy); the big-neighbour map + chain walk run on the
-component GRAPH (nodes = polygons, not pixels) — driver-side below
-`graph_threshold` edges, same scale posture as polygonize's merge.
+equi-join on (gx, gy). The merge then runs on the component GRAPH
+(nodes = polygons, not pixels), with the same two-tier posture as
+polygonize's merge:
 
-Tie handling is ORDER-SENSITIVE in the reference (first scan-order
-neighbour wins among equals), so the engine replays the exact
-compare-event sequence on the collected component graph — checksums
-match the reference bit-for-bit on every fixture including the
-all-singletons `unmergable` case.
+  * below `event_threshold` boundary events — driver-side replay of the
+    reference's EXACT order-sensitive compare sequence (first scan-order
+    neighbour wins among equal sizes), bit-for-bit checksum parity;
+  * above it — fully distributed: largest-neighbour via one max_by
+    aggregation with a DOCUMENTED deterministic tie rule (largest size,
+    ties -> smallest component id; the only divergence from the
+    reference, and only on exact size ties), then the merge-chain walk
+    as pointer-doubling self-joins on the component graph (log rounds,
+    cycles resolve to "unchanged" exactly like the reference's cycle
+    break). No pixel-level driver collect at any size.
 """
 
 from __future__ import annotations
@@ -31,35 +36,81 @@ from ..functions.geo import TILE_SIZE
 from .polygonize import polygonize
 
 
+def _chain_resolve_distributed(nodes: DataFrame, threshold: int, max_doublings: int = 12):
+    """nodes: (component, size, value, big, big_size). Returns
+    (component, new_value) for small components whose merge chain
+    reaches a >= threshold component. Pointer doubling: f(c) = c when
+    resolved/stuck, else big[c]; f composes with itself log-many times,
+    so chains up to 2^max_doublings resolve; cycles never reach a big
+    component and drop out (reference cycle break == unchanged)."""
+    # f(c): small with a big-neighbour -> step there; otherwise fixpoint.
+    # Each doubling squares the reachable chain length; localCheckpoint
+    # truncates lineage (the naive self-join recurrence is a 2^rounds
+    # plan) and lets us early-exit at the fixpoint.
+    nxt = nodes.select(
+        "component",
+        F.when(
+            (F.col("size") < threshold) & F.col("big").isNotNull(),
+            F.col("big"),
+        )
+        .otherwise(F.col("component"))
+        .alias("nxt"),
+    ).localCheckpoint()
+    for _ in range(max_doublings):
+        n2 = (
+            nxt.alias("l")
+            .join(
+                nxt.select(
+                    F.col("component").alias("nxt"), F.col("nxt").alias("nxt2")
+                ).alias("r"),
+                "nxt",
+            )
+            .select("component", F.col("nxt2").alias("nxt"))
+            .localCheckpoint()
+        )
+        changed = (
+            n2.alias("a")
+            .join(nxt.alias("b"), "component")
+            .filter(F.col("a.nxt") != F.col("b.nxt"))
+            .limit(1)
+            .count()
+        )
+        nxt = n2
+        if changed == 0:
+            break
+    final = nxt.join(
+        nodes.select(
+            F.col("component").alias("nxt"),
+            F.col("size").alias("f_size"),
+            F.col("value").alias("f_value"),
+        ),
+        "nxt",
+    )
+    small = nodes.filter(F.col("size") < threshold).select("component")
+    return small.join(final, "component").filter(
+        F.col("f_size") >= threshold
+    ).select("component", F.col("f_value").alias("new_value"))
+
+
 def sieve(
     pixels: DataFrame,
     threshold: int,
     value_col: str = "value",
     zoom: int | None = None,
     connect8: bool = False,
+    event_threshold: int = 2_000_000,
+    labeled: DataFrame | None = None,
 ) -> DataFrame:
-    """(zoom, tx, ty, px, py, value) -> same rows with sieved values."""
-    labeled = polygonize(pixels, value_col, zoom, connect8).persist()
+    """(zoom, tx, ty, px, py, value) -> same rows with sieved values.
+    `labeled` lets callers reuse an existing polygonize() output."""
+    if labeled is None:
+        labeled = polygonize(pixels, value_col, zoom, connect8)
+    labeled = labeled.persist()
     g = labeled.select(
         "value", "component", "zoom", "tx", "ty", "px", "py",
         (F.col("tx") * TILE_SIZE + F.col("px")).alias("gx"),
         (F.col("ty") * TILE_SIZE + F.col("py")).alias("gy"),
     )
-    sizes = {
-        int(r["component"]): int(r["n"])
-        for r in g.groupBy("component").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    values = {
-        int(r["component"]): int(r["value"])
-        for r in g.select("component", "value").distinct().collect()
-    }
-    # The reference's big-neighbour map is ORDER-SENSITIVE on ties
-    # (CompareNeighbour replaces only when strictly bigger): replay its
-    # exact compare-event sequence — per pixel in row-major order, the
-    # backward partners N, NW, NE, W (diagonals only when 8-connected),
-    # each compare updating BOTH polygons' maps. The event list is
-    # boundary-sized; it is collected and replayed driver-side (same
-    # scale posture as polygonize's component-graph merge).
     nb = g.select(
         F.col("gx").alias("ngx"), F.col("gy").alias("ngy"),
         F.col("component").alias("ncomp"),
@@ -67,22 +118,52 @@ def sieve(
     dirs = [(0, -1, 0), (-1, -1, 1), (1, -1, 2), (-1, 0, 3)]
     if not connect8:
         dirs = [(0, -1, 0), (-1, 0, 3)]
-    events = []
+    ev = None
     for dx, dy, dcode in dirs:
         e = (
             g.withColumn("ngx", F.col("gx") + dx)
             .withColumn("ngy", F.col("gy") + dy)
             .join(nb, ["ngx", "ngy"])
             .filter(F.col("component") != F.col("ncomp"))
-            .select("gx", "gy", "component", "ncomp")
-            .collect()
-        )
-        for r in e:
-            events.append(
-                (int(r["gy"]), int(r["gx"]), dcode, int(r["component"]), int(r["ncomp"]))
+            .select(
+                "gx", "gy", F.lit(dcode).alias("dcode"), "component", "ncomp"
             )
-    events.sort()
+        )
+        ev = e if ev is None else ev.unionByName(e)
+    ev = ev.persist()
+    n_events = ev.count()
 
+    sizes_df = g.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    values_df = g.select("component", "value").distinct()
+
+    if n_events <= event_threshold:
+        mapping = _replay_exact(ev, sizes_df, values_df, threshold)
+    else:
+        mapping = _mapping_distributed(ev, sizes_df, values_df, threshold)
+
+    if mapping is None:
+        out = labeled
+    else:
+        out = labeled.join(F.broadcast(mapping), "component", "left").withColumn(
+            "value", F.coalesce("new_value", "value")
+        ).drop("new_value")
+    ev.unpersist()
+    return out.select("zoom", "tx", "ty", "px", "py", "value")
+
+
+def _replay_exact(ev, sizes_df, values_df, threshold):
+    """The reference's big-neighbour map is ORDER-SENSITIVE on ties
+    (CompareNeighbour replaces only when strictly bigger): replay its
+    exact compare-event sequence — per pixel in row-major order, the
+    backward partners N, NW, NE, W (diagonals only when 8-connected),
+    each compare updating BOTH polygons' maps. The event list is
+    boundary-sized and gated by event_threshold before reaching here."""
+    sizes = {int(r["component"]): int(r["size"]) for r in sizes_df.collect()}
+    values = {int(r["component"]): int(r["value"]) for r in values_df.collect()}
+    events = sorted(
+        (int(r["gy"]), int(r["gx"]), int(r["dcode"]), int(r["component"]), int(r["ncomp"]))
+        for r in ev.collect()
+    )
     big: dict = {}
     for _, _, _, a, b in events:
         if a not in big or sizes[big[a]] < sizes[b]:
@@ -109,18 +190,45 @@ def sieve(
             seen.add(cur)
         if final is not None:
             mapping[comp] = values[final]
-
     if not mapping:
-        out = labeled
-    else:
-        from ..session import local_df
+        return None
+    from ..session import local_df
 
-        mdf = local_df(
-            labeled.sparkSession,
-            [(c, v) for c, v in mapping.items()],
-            "component long, new_value long",
+    return local_df(
+        ev.sparkSession,
+        [(c, v) for c, v in mapping.items()],
+        "component long, new_value long",
+    )
+
+
+def _mapping_distributed(ev, sizes_df, values_df, threshold):
+    """Scale path: symmetric edge list -> one max_by largest-neighbour
+    aggregation (tie rule: size desc, component id asc) -> pointer-
+    doubling chain walk. Everything stays on the component graph."""
+    edges = ev.select(
+        F.col("component").alias("a"), F.col("ncomp").alias("b")
+    ).unionByName(
+        ev.select(F.col("ncomp").alias("a"), F.col("component").alias("b"))
+    ).distinct()
+    sized = edges.join(
+        sizes_df.select(
+            F.col("component").alias("b"), F.col("size").alias("b_size")
+        ),
+        "b",
+    )
+    big = sized.groupBy("a").agg(
+        F.max_by("b", F.struct(F.col("b_size"), -F.col("b"))).alias("big")
+    )
+    nodes = (
+        sizes_df.join(values_df, "component")
+        .join(big.select(F.col("a").alias("component"), "big"), "component", "left")
+        .join(
+            sizes_df.select(
+                F.col("component").alias("big"), F.col("size").alias("big_size")
+            ),
+            "big",
+            "left",
         )
-        out = labeled.join(F.broadcast(mdf), "component", "left").withColumn(
-            "value", F.coalesce("new_value", "value")
-        ).drop("new_value")
-    return out.select("zoom", "tx", "ty", "px", "py", "value")
+        .select("component", "size", "value", "big", "big_size")
+    )
+    return _chain_resolve_distributed(nodes, threshold)

@@ -47,3 +47,34 @@ def test_sieve_unmergable_checksum(spark):
     # test_sieve_3: unmergable chain fixture, threshold 2, 8-conn -> 451
     _, src = read_grd("/root/reference/autotest/alg/data/unmergable.grd")
     assert checksum(_sieved_array(spark, src, 2, True)) == 451
+
+
+def test_sieve_distributed_path_matches_exact(spark):
+    """event_threshold=0 forces the distributed largest-neighbour +
+    pointer-doubling path; on the checkerboard-free reference fixture
+    with no size ties among competing neighbours it must equal the exact
+    replay. sieve_src has ties, so build a tie-free variant: distinct
+    region sizes by construction."""
+    grid = [
+        [1, 1, 1, 1, 1, 1],
+        [1, 1, 2, 3, 3, 1],
+        [1, 1, 2, 3, 3, 1],
+        [1, 1, 1, 3, 3, 1],
+        [4, 1, 1, 3, 3, 1],
+        [1, 1, 1, 1, 1, 1],
+    ]
+    # sizes: 1 -> 24(ish big), 2 -> 2, 3 -> 8, 4 -> 1; threshold 3 removes
+    # {2} (largest nb: 1 vs 3 -> distinct sizes) and {4} (only nb 1)
+    a_exact = _sieved_array_et(spark, grid, 3, False, 10**9)
+    a_dist = _sieved_array_et(spark, grid, 3, False, 0)
+    assert np.array_equal(a_exact, a_dist)
+
+
+def _sieved_array_et(spark, grid, threshold, connect8, et):
+    df = _pixels_df(spark, grid)
+    out = sieve(df, threshold, connect8=connect8, event_threshold=et).collect()
+    h, w = len(grid), len(grid[0])
+    arr = np.zeros((h, w), dtype=np.int64)
+    for r in out:
+        arr[r["ty"] * 256 + r["py"], r["tx"] * 256 + r["px"]] = r["value"]
+    return arr
