@@ -2264,13 +2264,36 @@ def q_overlay_fishnet(spark, sf_dir):
     )
 
 
-def q_polygonize(spark, sf_dir):
-    from gdal_spark.operators.polygonize import component_summary, polygonize
-    from gdal_spark.operators.rasterize_poly import rasterize_zones
+# polygonize / polygonize_polys / footprint all start from the SAME
+# rasterized zone set, and the first two from the same labeled components
+# — share those intermediates (persisted, keyed per SparkSession) instead
+# of recomputing rasterize+label up to 3x per driver run.
+_POLY_SHARED: dict = {}
 
-    z = zones_df(spark).filter(F.col("zone_id").isin(list(POLYGONIZE_ZONES)))
-    px = rasterize_zones(z, POLYGONIZE_ZOOM).withColumnRenamed("zone_id", "value")
-    return component_summary(polygonize(px, zoom=POLYGONIZE_ZOOM))
+
+def _poly_shared(spark):
+    key = id(spark)
+    got = _POLY_SHARED.get(key)
+    if got is None:
+        from gdal_spark.operators.polygonize import polygonize
+        from gdal_spark.operators.rasterize_poly import rasterize_zones
+
+        z = zones_df(spark).filter(
+            F.col("zone_id").isin(list(POLYGONIZE_ZONES))
+        )
+        px = rasterize_zones(z, POLYGONIZE_ZOOM).persist()
+        pxv = px.withColumnRenamed("zone_id", "value")
+        labeled = polygonize(pxv, zoom=POLYGONIZE_ZOOM).persist()
+        got = (px, pxv, labeled)
+        _POLY_SHARED[key] = got
+    return got
+
+
+def q_polygonize(spark, sf_dir):
+    from gdal_spark.operators.polygonize import component_summary
+
+    _, _, labeled = _poly_shared(spark)
+    return component_summary(labeled)
 
 
 def q_polygonize_polys(spark, sf_dir):
@@ -2279,11 +2302,9 @@ def q_polygonize_polys(spark, sf_dir):
     semantics pinned in tests/test_polygonize_rings.py). Oracle rebuilds
     the canonical WKT from per-part pixel bounds in SQL."""
     from gdal_spark.operators.polygonize import polygonize_polygons
-    from gdal_spark.operators.rasterize_poly import rasterize_zones
 
-    z = zones_df(spark).filter(F.col("zone_id").isin(list(POLYGONIZE_ZONES)))
-    px = rasterize_zones(z, POLYGONIZE_ZOOM).withColumnRenamed("zone_id", "value")
-    out = polygonize_polygons(px, zoom=POLYGONIZE_ZOOM)
+    _, pxv, labeled = _poly_shared(spark)
+    out = polygonize_polygons(pxv, zoom=POLYGONIZE_ZOOM, labeled=labeled)
     return out.select("value", "component", "n_rings", "area_px", "wkt_px")
 
 
@@ -2291,10 +2312,8 @@ def q_footprint(spark, sf_dir):
     """gdal_footprint (apps/gdal_footprint_lib.cpp:112): valid-data mask
     polygons of the rasterized zone set."""
     from gdal_spark.operators.polygonize import footprint
-    from gdal_spark.operators.rasterize_poly import rasterize_zones
 
-    z = zones_df(spark).filter(F.col("zone_id").isin(list(POLYGONIZE_ZONES)))
-    px = rasterize_zones(z, POLYGONIZE_ZOOM)
+    px, _, _ = _poly_shared(spark)
     return footprint(px, zoom=POLYGONIZE_ZOOM).select(
         "component", "n_rings", "area_px", "wkt_px"
     )

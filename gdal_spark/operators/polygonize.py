@@ -277,6 +277,7 @@ def polygonize_polygons(
     value_col: str = "value",
     zoom: int | None = None,
     connect8: bool = False,
+    labeled: DataFrame | None = None,
     **kw,
 ) -> DataFrame:
     """Full GDALPolygonize semantics: one POLYGON geometry per component.
@@ -295,7 +296,8 @@ def polygonize_polygons(
     res = zoom_resolution(z)
     gt = (-ORIGIN_SHIFT, res, 0.0, ORIGIN_SHIFT, 0.0, -res)
 
-    labeled = polygonize(pixels, value_col, z, connect8, **kw)
+    if labeled is None:
+        labeled = polygonize(pixels, value_col, z, connect8, **kw)
     g = labeled.select(
         "value",
         "component",
