@@ -133,6 +133,28 @@ def _ring_cells_df(queries: DataFrame, res: int, ring: int,
     )
 
 
+def index_pages_by_cell(
+    pages: DataFrame,
+    res: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Cell index over pages: the column `knn_cells` joins on. Build
+    ONCE and reuse across query batches — at 100 TB this is a bucketed
+    write (`bucketBy(n, "cell")`) maintained with the table, so the
+    per-query cost is only the ring-disk probe, never a corpus rescan
+    through the cube-rounding cell transform. Locally: persist() the
+    result. `partitions` pre-shuffles by cell so downstream joins can
+    reuse the partitioning."""
+    p = pages.filter(F.col(lat_col).isNotNull()).withColumn(
+        "cell", hex_cell(F.col(lat_col), F.col(lon_col), res)
+    )
+    if partitions:
+        p = p.repartition(partitions, "cell")
+    return p
+
+
 def knn_cells(
     pages: DataFrame,
     queries: DataFrame,
@@ -141,13 +163,17 @@ def knn_cells(
     ring: int = 1,
     lat_col: str = "lat",
     lon_col: str = "lon",
+    indexed: bool = False,
 ) -> DataFrame:
     """H3-style k-ring kNN (north-star strategy): queries x ring-disk
-    cells ⋈ pages indexed by cell, then salted two-phase top-k."""
+    cells ⋈ pages indexed by cell, then salted two-phase top-k.
+    `indexed=True` means pages already carry the `cell` column from
+    index_pages_by_cell(res) — res MUST match the index resolution."""
     q = _ring_cells_df(queries, res, ring)
-    p = pages.filter(F.col(lat_col).isNotNull()).withColumn(
-        "cell", hex_cell(F.col(lat_col), F.col(lon_col), res)
-    )
+    if indexed:
+        p = pages
+    else:
+        p = index_pages_by_cell(pages, res, lat_col, lon_col)
     cand = p.join(F.broadcast(q), "cell").withColumn(
         "dist_m", haversine_m(F.col(lat_col), F.col(lon_col), F.col("qlat"), F.col("qlon"))
     )
