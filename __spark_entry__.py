@@ -2352,6 +2352,62 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_vector_concat(spark, sf_dir):
+    """gdal vector concat (apps/gdalalg_vector_concat.cpp): customer +
+    supplier layers, mode=single, field-strategy=union — every field of
+    every source, missing -> NULL, plus the source-layer field
+    (OGRUnionLayer FIELD_UNION_ALL_LAYERS semantics). Zero-shuffle plan:
+    two scans + union."""
+    from gdal_spark.operators.vector_steps import concat_layers
+
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+    supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .select(
+            F.col("s_suppkey").alias("key"),
+            F.col("s_name").alias("name"),
+            F.col("s_nationkey").alias("nationkey"),
+        )
+    )
+    out = concat_layers(
+        [("customer", cust), ("supplier", supp)],
+        mode="single",
+        field_strategy="union",
+        source_layer_field="src_layer",
+    )
+    return out["merged"]
+
+
+def q_vector_sql(spark, sf_dir):
+    """gdal vector sql (apps/gdalalg_vector_sql.cpp): one SQL statement
+    over the input layers, executed by the engine's SQL dialect
+    (Catalyst). Statement: per-nation customer balance rollup."""
+    from gdal_spark.operators.vector_steps import vector_sql
+
+    layers = {
+        "v_customer": spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        "v_nation": spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    }
+    return vector_sql(
+        spark,
+        layers,
+        """
+        SELECT n.n_name AS nation, COUNT(*) AS n_cust,
+               ROUND(SUM(c.c_acctbal), 2) AS sum_bal
+        FROM v_customer c JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > 0
+        GROUP BY n.n_name
+        """,
+    )
+
+
 # Queries that already have a green driver-stamped row in CORRECTNESS_r02.
 # The driver's correctness gate only covers the first ~50 registry entries,
 # so queries() orders not-yet-certified queries FIRST; the union of
@@ -2471,6 +2527,8 @@ _QUERIES = {
         "geom_props": q_geom_props,
         "events_window": q_events_window,
         "events_lag": q_events_lag,
+        "vector_concat": q_vector_concat,
+        "vector_sql": q_vector_sql,
     }
 
 
@@ -2783,5 +2841,21 @@ def oracle_sql() -> dict[str, str]:
                    LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      AS prev_event_id
             FROM events
+        """,
+        "vector_concat": """
+            SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal,
+                   CAST(NULL AS BIGINT) AS nationkey, 'customer' AS src_layer
+            FROM customer
+            UNION ALL
+            SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE), s_nationkey,
+                   'supplier'
+            FROM supplier
+        """,
+        "vector_sql": """
+            SELECT n.n_name AS nation, COUNT(*) AS n_cust,
+                   ROUND(SUM(c.c_acctbal), 2) AS sum_bal
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_acctbal > 0
+            GROUP BY n.n_name
         """,
     }
