@@ -2352,6 +2352,60 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# make-valid fixtures: (gid, components). Expected outputs derived
+# analytically in the oracle VALUES below; kernel behavior additionally
+# pinned against autotest/ogr/ogr_geom.py:4079 in tests/test_makevalid.py.
+_MAKEVALID_FIXTURES = [
+    # bowtie self-crossing -> two triangles (the reference golden)
+    (1, [[[(0, 0), (10, 10), (0, 10), (10, 0)]]]),
+    # valid square with a duplicate vertex -> cleaned square
+    (2, [[[(0, 0), (1, 0), (1, 0), (1, 1), (0, 1)]]]),
+    # hole sticking out of the shell -> notched shell + outside part
+    (3, [[[(0, 0), (0, 10), (10, 10), (10, 0)], [(5, 5), (15, 10), (15, 0)]]]),
+    # figure-eight self-touch at (5,5) -> two triangles
+    (4, [[[(0, 0), (10, 0), (5, 5), (10, 10), (0, 10), (5, 5)]]]),
+    # overlapping multipolygon parts -> dissolved union (L-shape, area 7)
+    (5, [[[(0, 0), (2, 0), (2, 2), (0, 2)]], [[(1, 1), (3, 1), (3, 3), (1, 3)]]]),
+    # zero-width spike (edge drawn twice) -> collapsed linework dropped
+    (6, [[[(0, 0), (10, 0), (10, 5), (14, 5), (10, 5), (10, 10), (0, 10)]]]),
+    # proper shell + hole -> unchanged (canonicalized), area 96
+    (7, [[[(0, 0), (10, 0), (10, 10), (0, 10)], [(2, 2), (2, 4), (4, 4), (4, 2)]]]),
+]
+
+
+def q_make_valid(spark, sf_dir):
+    """gdal vector make-valid (apps/gdalalg_vector_make_valid.h; OGR
+    MakeValid linework semantics — kernels/makevalid nodes the linework
+    and keeps even-odd-covered faces). Bowtie golden matches
+    autotest/ogr/ogr_geom.py:4079."""
+    from gdal_spark.kernels import wkb as W
+    from gdal_spark.operators.geom import make_valid_wkb, wkb_stats_udf
+    from gdal_spark.operators.raster import wkt_of
+    from gdal_spark.session import local_df
+
+    rows = [
+        (
+            gid,
+            W.polygon_wkb(comp[0])
+            if len(comp) == 1
+            else W.multipolygon_wkb(comp),
+        )
+        for gid, comp in _MAKEVALID_FIXTURES
+    ]
+    df = local_df(spark, rows, "gid int, geometry binary")
+    fixed = df.withColumn("valid", make_valid_wkb("geometry"))
+    st = wkb_stats_udf()
+    return fixed.select(
+        "gid",
+        st(F.col("valid")).alias("s"),
+        wkt_of(F.col("valid")).alias("wkt"),
+    ).select(
+        "gid", F.col("s.n_polys").alias("n_polys"),
+        F.col("s.n_rings").alias("n_rings"),
+        F.round(F.col("s.area"), 9).alias("area"), "wkt",
+    )
+
+
 def q_vector_concat(spark, sf_dir):
     """gdal vector concat (apps/gdalalg_vector_concat.cpp): customer +
     supplier layers, mode=single, field-strategy=union — every field of
@@ -2529,6 +2583,7 @@ _QUERIES = {
         "events_lag": q_events_lag,
         "vector_concat": q_vector_concat,
         "vector_sql": q_vector_sql,
+        "make_valid": q_make_valid,
     }
 
 
@@ -2857,5 +2912,27 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
             WHERE c.c_acctbal > 0
             GROUP BY n.n_name
+        """,
+        # Analytic derivations: (1) bowtie lobes 25+25; (2) dup vertex
+        # dropped; (3) shell 100 minus shell∩hole triangle 12.5 = 87.5,
+        # plus hole-outside-shell 50-12.5 = 37.5; (4) two 25 lobes;
+        # (5) 4+4-1 union; (6) spike edge drawn twice cancels mod 2;
+        # (7) 100-4. WKTs in the engine's canonical form (outer CCW,
+        # holes CW, rings start at lexicographic min vertex).
+        "make_valid": """
+            SELECT * FROM (VALUES
+              (1, 2, 2, 50.0,
+               'MULTIPOLYGON (((0 0,10 0,5 5,0 0)),((0 10,5 5,10 10,0 10)))'),
+              (2, 1, 1, 1.0, 'POLYGON ((0 0,1 0,1 1,0 1,0 0))'),
+              (3, 2, 2, 125.0,
+               'MULTIPOLYGON (((0 0,10 0,10 2.5,5 5,10 7.5,10 10,0 10,0 0)),((10 2.5,15 0,15 10,10 7.5,10 2.5)))'),
+              (4, 2, 2, 50.0,
+               'MULTIPOLYGON (((0 0,10 0,5 5,0 0)),((0 10,5 5,10 10,0 10)))'),
+              (5, 1, 1, 7.0,
+               'POLYGON ((0 0,2 0,2 1,3 1,3 3,1 3,1 2,0 2,0 0))'),
+              (6, 1, 1, 100.0, 'POLYGON ((0 0,10 0,10 10,0 10,0 0))'),
+              (7, 1, 2, 96.0,
+               'POLYGON ((0 0,10 0,10 10,0 10,0 0),(2 2,2 4,4 4,4 2,2 2))')
+            ) AS t(gid, n_polys, n_rings, area, wkt)
         """,
     }

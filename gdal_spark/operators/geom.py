@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
 from ..kernels import geomops as G
+from ..kernels import makevalid as MV
 from ..kernels import wkb as W
 
 
@@ -66,6 +67,66 @@ def simplify_segmentize_wkb(tol: float, max_len: float | None = None):
             else:
                 out.append(W.multipolygon_wkb(polys))
         return pd.Series(out)
+
+    return _f
+
+
+@F.pandas_udf(BinaryType())
+def make_valid_wkb(geom: pd.Series) -> pd.Series:
+    """`gdal vector make-valid` (apps/gdalalg_vector_make_valid.h;
+    OGRGeometry::MakeValid default linework method, pinned against
+    autotest/ogr/ogr_geom.py:4079). Per-row repair — kernels/makevalid
+    nodes the linework and reassembles even-odd faces; rows are
+    independent so the operator distributes trivially (one Arrow batch
+    pass, no shuffle)."""
+    out = []
+    for buf in geom:
+        if buf is None:
+            out.append(None)
+            continue
+        polys = MV.make_valid(W.decode_polygons(bytes(buf)))
+        if not polys:
+            out.append(None)
+        elif len(polys) == 1:
+            out.append(W.polygon_wkb(polys[0]))
+        else:
+            out.append(W.multipolygon_wkb(polys))
+    return pd.Series(out)
+
+
+def wkb_stats_udf():
+    """pandas_udf: (n_polys, n_rings, area) of a (multi)polygon WKB."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("n_polys", IntegerType()),
+                StructField("n_rings", IntegerType()),
+                StructField("area", DoubleType()),
+            ]
+        )
+    )
+    def _f(geom: pd.Series) -> pd.DataFrame:
+        rows = []
+        for buf in geom:
+            if buf is None:
+                rows.append((0, 0, 0.0))
+                continue
+            polys = W.decode_polygons(bytes(buf))
+            rows.append(
+                (
+                    len(polys),
+                    sum(len(r) for r in polys),
+                    W.shoelace_area(bytes(buf)),
+                )
+            )
+        return pd.DataFrame(rows, columns=["n_polys", "n_rings", "area"])
 
     return _f
 
