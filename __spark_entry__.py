@@ -2406,6 +2406,38 @@ def q_make_valid(spark, sf_dir):
     )
 
 
+def q_geodesic(spark, sf_dir):
+    """WGS84 geodesic area + perimeter (OGRGeometry::GeodesicArea /
+    GeodesicLength, via PROJ geod in the reference; kernels/geodesic
+    Vincenty + authalic excess here). Fixtures/expected values from
+    autotest/ogr/ogr_geom.py:4472,:4656 where pinned (gids 1,2,4);
+    gid 3 (multipart) and 5 (holed) derive from the same pinned rings
+    by part/hole additivity. Area rounded to 1e3 m^2 (pins are 1e-6
+    rel; engine is ~1e-9), length to mm."""
+    from gdal_spark.kernels import wkb as W
+    from gdal_spark.operators.geom import geodesic_stats_udf
+    from gdal_spark.session import local_df
+
+    tri = [(2, 49), (3, 49), (3, 48), (2, 49)]
+    polar = [(2, 89), (3, 89), (3, 88), (2, 89)]
+    outer5 = [(12, 49), (13, 49), (13, 48), (12, 49)]
+    hole5 = [(12.25, 48.75), (12.75, 48.75), (12.5, 48.5), (12.25, 48.75)]
+    rows = [
+        (1, W.polygon_wkb([tri])),
+        (2, W.polygon_wkb([polar])),
+        (3, W.multipolygon_wkb([[tri], [polar]])),
+        (4, W.polygon_wkb([tri, tri])),  # hole == shell -> area 0
+        (5, W.polygon_wkb([outer5, hole5])),
+    ]
+    df = local_df(spark, rows, "gid int, geometry binary")
+    st = geodesic_stats_udf()
+    return df.select("gid", st(F.col("geometry")).alias("s")).select(
+        "gid",
+        F.round(F.col("s.garea"), -3).alias("garea"),
+        F.round(F.col("s.glength"), 3).alias("glength"),
+    )
+
+
 def q_vector_concat(spark, sf_dir):
     """gdal vector concat (apps/gdalalg_vector_concat.cpp): customer +
     supplier layers, mode=single, field-strategy=union — every field of
@@ -2584,6 +2616,7 @@ _QUERIES = {
         "vector_concat": q_vector_concat,
         "vector_sql": q_vector_sql,
         "make_valid": q_make_valid,
+        "geodesic": q_geodesic,
     }
 
 
@@ -2912,6 +2945,21 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
             WHERE c.c_acctbal > 0
             GROUP BY n.n_name
+        """,
+        # Reference pins (autotest/ogr/ogr_geom.py): tri area
+        # 4068384291.8911743 / perimeter 317885.78639964823, polar area
+        # 108860488.12023926 / perimeter 225369.66747743438; gid3 = sums,
+        # gid4 hole==shell -> 0 area, double perimeter; gid5 outer = tri
+        # pin (lon-shift invariant, :4495) minus the derived hole
+        # (511650257.896 m^2, 103477.867 m).
+        "geodesic": """
+            SELECT * FROM (VALUES
+              (1, 4068384000.0, 317885.786),
+              (2, 108860000.0, 225369.667),
+              (3, 4177245000.0, 543255.454),
+              (4, 0.0, 635771.573),
+              (5, 3556734000.0, 421363.654)
+            ) AS t(gid, garea, glength)
         """,
         # Analytic derivations: (1) bowtie lobes 25+25; (2) dup vertex
         # dropped; (3) shell 100 minus shell∩hole triangle 12.5 = 87.5,

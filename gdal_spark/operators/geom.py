@@ -131,6 +131,40 @@ def wkb_stats_udf():
     return _f
 
 
+def geodesic_stats_udf():
+    """pandas_udf: (garea, glength) — WGS84 geodesic area (m^2) and
+    perimeter (m) of a (multi)polygon WKB in lon/lat degrees
+    (OGRGeometry::GeodesicArea / ::GeodesicLength; kernels/geodesic)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..kernels import geodesic as GD
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("garea", DoubleType()),
+                StructField("glength", DoubleType()),
+            ]
+        )
+    )
+    def _f(geom: pd.Series) -> pd.DataFrame:
+        rows = []
+        for buf in geom:
+            if buf is None:
+                rows.append((None, None))
+                continue
+            polys = W.decode_polygons(bytes(buf))
+            rows.append(
+                (
+                    GD.polygons_geodesic_area(polys),
+                    GD.polygons_geodesic_length(polys),
+                )
+            )
+        return pd.DataFrame(rows, columns=["garea", "glength"])
+
+    return _f
+
+
 @F.pandas_udf(BinaryType())
 def swap_xy_wkb(geom: pd.Series) -> pd.Series:
     """`gdal vector swap-xy` (apps/gdalalg_vector_pipeline.cpp registry;
