@@ -2406,6 +2406,36 @@ def q_make_valid(spark, sf_dir):
     )
 
 
+def q_simplify_coverage(spark, sf_dir):
+    """gdal vector simplify-coverage
+    (apps/gdalalg_vector_simplify_coverage.cpp): two zones tiling an
+    8x6 box share a zigzag boundary (amplitude 0.2); tolerance 0.5
+    straightens the shared arc IDENTICALLY on both sides (junctions
+    (4,0),(4,6) pinned), outer corners survive — the coverage stays
+    gap/overlap-free. Expected vertex tables are analytic."""
+    from pyspark.sql import Window
+
+    from gdal_spark.kernels import wkb as W
+    from gdal_spark.operators.coverage import simplify_coverage
+    from gdal_spark.session import local_df
+
+    zig = [(4, 0), (4.2, 1), (3.8, 2), (4.2, 3), (3.8, 4), (4.2, 5), (4, 6)]
+    a = [(0, 0)] + zig + [(0, 6)]
+    b = [(4, 0), (8, 0), (8, 6), (4, 6)] + list(reversed(zig))[1:-1]
+    df = local_df(
+        spark,
+        [(1, W.polygon_wkb([a])), (2, W.polygon_wkb([b]))],
+        "zone_id int, geometry binary",
+    )
+    out = simplify_coverage(df, 0.5)
+    w = Window.partitionBy("zone_id", "ring_idx").orderBy("vidx")
+    return out.select(
+        "zone_id", "ring_idx",
+        (F.row_number().over(w) - 1).alias("seq"),
+        F.round("x", 9).alias("x"), F.round("y", 9).alias("y"),
+    )
+
+
 def q_geodesic(spark, sf_dir):
     """WGS84 geodesic area + perimeter (OGRGeometry::GeodesicArea /
     GeodesicLength, via PROJ geod in the reference; kernels/geodesic
@@ -2617,6 +2647,7 @@ _QUERIES = {
         "vector_sql": q_vector_sql,
         "make_valid": q_make_valid,
         "geodesic": q_geodesic,
+        "simplify_coverage": q_simplify_coverage,
     }
 
 
@@ -2945,6 +2976,17 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
             WHERE c.c_acctbal > 0
             GROUP BY n.n_name
+        """,
+        # Analytic: tolerance 0.5 > zigzag amplitude 0.2 drops all six
+        # interior zigzag vertices from BOTH zones; all box corners and
+        # the two junctions survive.
+        "simplify_coverage": """
+            SELECT * FROM (VALUES
+              (1, 0, 0, 0.0, 0.0), (1, 0, 1, 4.0, 0.0),
+              (1, 0, 2, 4.0, 6.0), (1, 0, 3, 0.0, 6.0),
+              (2, 0, 0, 4.0, 0.0), (2, 0, 1, 8.0, 0.0),
+              (2, 0, 2, 8.0, 6.0), (2, 0, 3, 4.0, 6.0)
+            ) AS t(zone_id, ring_idx, seq, x, y)
         """,
         # Reference pins (autotest/ogr/ogr_geom.py): tri area
         # 4068384291.8911743 / perimeter 317885.78639964823, polar area
