@@ -2406,6 +2406,37 @@ def q_make_valid(spark, sf_dir):
     )
 
 
+def q_cascaded_union(spark, sf_dir):
+    """ST_Union aggregate (ogrsqlitesqlfunctions.cpp:1211): three
+    overlapping unit-2 squares chained diagonally plus one disjoint
+    square. Union area = 3*4 - two 1x1 overlaps + 1 = 11; the chain
+    dissolves to one staircase polygon (sq1/sq3 touch only at the point
+    (2,2), bridged by sq2), the disjoint square stays separate."""
+    from gdal_spark.kernels import wkb as W
+    from gdal_spark.operators.geom import cascaded_union, wkb_stats_udf
+    from gdal_spark.operators.raster import wkt_of
+    from gdal_spark.session import local_df
+
+    def sq(x0, y0, s):
+        return [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s)]
+
+    rows = [
+        (i, W.polygon_wkb([r]))
+        for i, r in enumerate([sq(0, 0, 2), sq(1, 1, 2), sq(2, 2, 2), sq(5, 0, 1)])
+    ]
+    df = local_df(spark, rows, "gid int, geometry binary")
+    u = cascaded_union(df)
+    st = wkb_stats_udf()
+    return u.select(
+        st(F.col("geometry")).alias("s"), wkt_of(F.col("geometry")).alias("wkt")
+    ).select(
+        F.col("s.n_polys").alias("n_polys"),
+        F.col("s.n_rings").alias("n_rings"),
+        F.round(F.col("s.area"), 9).alias("area"),
+        "wkt",
+    )
+
+
 def q_simplify_coverage(spark, sf_dir):
     """gdal vector simplify-coverage
     (apps/gdalalg_vector_simplify_coverage.cpp): two zones tiling an
@@ -2648,6 +2679,7 @@ _QUERIES = {
         "make_valid": q_make_valid,
         "geodesic": q_geodesic,
         "simplify_coverage": q_simplify_coverage,
+        "cascaded_union": q_cascaded_union,
     }
 
 
@@ -2976,6 +3008,11 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
             WHERE c.c_acctbal > 0
             GROUP BY n.n_name
+        """,
+        # Analytic: 3*4 - 1 - 1 + 1 = 11; staircase + disjoint square
+        "cascaded_union": """
+            SELECT 2 AS n_polys, 2 AS n_rings, 11.0 AS area,
+                   'MULTIPOLYGON (((0 0,2 0,2 1,3 1,3 2,4 2,4 4,2 4,2 3,1 3,1 2,0 2,0 0)),((5 0,6 0,6 1,5 1,5 0)))' AS wkt
         """,
         # Analytic: tolerance 0.5 > zigzag amplitude 0.2 drops all six
         # interior zigzag vertices from BOTH zones; all box corners and

@@ -94,6 +94,52 @@ def make_valid_wkb(geom: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def cascaded_union(
+    df: DataFrame,
+    geom_col: str = "geometry",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """ST_Union aggregate (ogrsqlitesqlfunctions.cpp:1211 OGRSQLITE_
+    ST_Union_Step/Finalize): dissolve all (multi)polygon WKBs of each
+    group into one valid geometry. Union IS the make-valid arrangement
+    with every input as its own component (a point is in the union iff
+    ANY component covers it — kernels/makevalid's cross-component rule),
+    so overlaps dissolve and shared boundaries vanish.
+
+    Scale posture: union is associative — at 10^9 geometries run this
+    twice (partial per partition, then final); here one applyInPandas
+    per group (geometry tables are the small side in this engine)."""
+    from pyspark.sql.types import BinaryType as _B
+    from pyspark.sql.types import StructField, StructType
+
+    gcols = group_cols or []
+
+    out_schema = StructType(
+        [df.schema[c] for c in gcols] + [StructField("geometry", _B())]
+    )
+
+    def union_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        comps = []
+        for buf in pdf[geom_col]:
+            if buf is not None:
+                comps.extend(W.decode_polygons(bytes(buf)))
+        polys = MV.make_valid(comps)
+        if not polys:
+            wkb_out = None
+        elif len(polys) == 1:
+            wkb_out = W.polygon_wkb(polys[0])
+        else:
+            wkb_out = W.multipolygon_wkb(polys)
+        return pd.DataFrame([list(key) + [wkb_out]], columns=gcols + ["geometry"])
+
+    if gcols:
+        return df.groupBy(*gcols).applyInPandas(union_group, out_schema)
+    return df.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda key, pdf: union_group((), pdf),
+        StructType([StructField("geometry", _B())]),
+    )
+
+
 def wkb_stats_udf():
     """pandas_udf: (n_polys, n_rings, area) of a (multi)polygon WKB."""
     from pyspark.sql.types import (

@@ -103,3 +103,24 @@ def test_island_inside_hole():
 
 def test_all_collapsed_returns_empty():
     assert make_valid([[[(0, 0), (5, 0), (0, 0)]]]) == []
+
+
+def test_cascaded_union_grouped(spark):
+    from gdal_spark.kernels import wkb as W
+    from gdal_spark.operators.geom import cascaded_union
+    from gdal_spark.session import local_df
+
+    def sq(x0, y0, s):
+        return [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s)]
+
+    rows = [
+        ("a", W.polygon_wkb([sq(0, 0, 2)])),
+        ("a", W.polygon_wkb([sq(1, 0, 2)])),
+        ("b", W.polygon_wkb([sq(0, 0, 1)])),
+    ]
+    df = local_df(spark, rows, "g string, geometry binary")
+    out = {
+        r["g"]: W.shoelace_area(bytes(r["geometry"]))
+        for r in cascaded_union(df, group_cols=["g"]).collect()
+    }
+    assert out == {"a": 6.0, "b": 1.0}
