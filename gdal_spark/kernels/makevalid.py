@@ -96,8 +96,9 @@ def _node_segments(components):
     edges is the odd-multiplicity noded undirected edge set and
     comp_rings the cleaned rings per component (for parity tests)."""
     segs = []  # (a, b)
+    seg_comp = []  # component index per segment
     comp_rings = []
-    for rings in components:
+    for ci, rings in enumerate(components):
         cleaned = []
         for ring in rings:
             r = _ring_clean(ring)
@@ -106,6 +107,7 @@ def _node_segments(components):
                 for i in range(len(r)):
                     a, b = r[i], r[(i + 1) % len(r)]
                     segs.append((a, b))
+                    seg_comp.append(ci)
         comp_rings.append(cleaned)
     # split points per segment
     cuts = [set() for _ in segs]
@@ -117,8 +119,13 @@ def _node_segments(components):
             c, d = segs[j]
             for t in _seg_intersections(a, b, c, d):
                 cuts[i].add(t)
+    # mod-2 multiplicity is a PER-COMPONENT rule (a spike drawn twice by
+    # one ring separates nothing under even-odd); across components each
+    # component's surviving boundary contributes once — coincident edges
+    # of different components stay (the dissolve pass decides whether
+    # they separate kept from kept and vanish).
     counts: dict = {}
-    for (a, b), ts in zip(segs, cuts):
+    for (a, b), ts, ci in zip(segs, cuts, seg_comp):
         ax, ay = a
         bx, by = b
         pts = [a]
@@ -129,8 +136,8 @@ def _node_segments(components):
             if p == q2:
                 continue
             key = (p, q2) if p <= q2 else (q2, p)
-            counts[key] = counts.get(key, 0) + 1
-    edges = [k for k, n in counts.items() if n % 2 == 1]
+            counts[(ci, key)] = counts.get((ci, key), 0) + 1
+    edges = sorted({key for (ci, key), n in counts.items() if n % 2 == 1})
     return edges, comp_rings
 
 
