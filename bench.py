@@ -237,7 +237,13 @@ def main() -> None:
         "knn": knn,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }
-    print(json.dumps(out))
+    # emit the JSON on its own clean line: flush both streams first and
+    # lead with a newline so a harness that merges stdout/stderr (where
+    # progress \r lines may have left a partial line) still parses it
+    sys.stderr.flush()
+    sys.stdout.flush()
+    sys.stdout.write("\n" + json.dumps(out) + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

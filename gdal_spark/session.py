@@ -107,6 +107,10 @@ def get_spark(
             ),
         )
         .config("spark.ui.enabled", "false")
+        # the console progress bar writes \r-terminated lines that can
+        # clobber the bench's single JSON stdout line when a harness
+        # merges the streams
+        .config("spark.ui.showConsoleProgress", "false")
         # glibc mmaps >128KB allocations and returns them to the OS on
         # free, so every numpy temp array in a pandas_udf kernel
         # re-faults fresh pages — and this VM first-touches memory at
