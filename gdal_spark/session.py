@@ -52,14 +52,32 @@ def local_df(spark: SparkSession, rows, schema):
     rows (measured 0.9-2.7s per join on this box vs 0.45s local). Routing
     through pandas/Arrow produces a true LocalRelation. Falls back to the
     list path for types Arrow can't convert (deeply nested structs)."""
+    import numpy as np
     import pandas as pd
 
+    rows = [
+        tuple(
+            v.tolist() if isinstance(v, np.ndarray) else v for v in row
+        )
+        if isinstance(row, tuple)
+        else row
+        for row in rows
+    ]
     if rows:
+        # the Arrow path is what makes this a LocalRelation; a raw
+        # SparkSession (the driver's) has it off, and the non-arrow
+        # pandas path additionally rejects ndarray cells — flip it on
+        # for just this conversion and restore
+        key = "spark.sql.execution.arrow.pyspark.enabled"
+        prev = spark.conf.get(key, "false")
         try:
-            pdf = pd.DataFrame(list(rows))
+            spark.conf.set(key, "true")
+            pdf = pd.DataFrame(rows)
             return spark.createDataFrame(pdf, schema)
         except Exception:
             pass
+        finally:
+            spark.conf.set(key, prev)
     return spark.createDataFrame(rows, schema)
 
 
