@@ -2437,6 +2437,47 @@ def q_cascaded_union(spark, sf_dir):
     )
 
 
+def q_geom_buffer_poly(spark, sf_dir):
+    """ST_Buffer of (multi)polygons (ogrsqlitesqlfunctions.cpp:997 ->
+    GEOS buffer): Minkowski dilation by a 32-gon disk via the make-valid
+    arrangement (kernels/geomops.buffer_polygon). Axis-aligned fixtures
+    make the discretized area closed-form: A + P*r + corner fans
+    ((K/2)*r^2*sin(2pi/K) per full turn), minus r^2 per right-angle
+    reflex corner, holes shrink to (h-2r)^2 with sharp corners."""
+    from gdal_spark.kernels import wkb as W
+    from gdal_spark.operators.geom import buffer_polygons_wkb, wkb_stats_udf
+    from gdal_spark.session import local_df
+
+    def ring(*pts):
+        return list(pts) + [pts[0]]
+
+    rect = [ring((0, 0), (8, 0), (8, 6), (0, 6))]
+    ell = [ring((0, 0), (6, 0), (6, 3), (3, 3), (3, 6), (0, 6))]
+    holed = [
+        ring((0, 0), (10, 0), (10, 10), (0, 10)),
+        ring((3, 3), (3, 7), (7, 7), (7, 3)),
+    ]
+    two = [
+        [ring((0, 0), (2, 0), (2, 2), (0, 2))],
+        [ring((5, 0), (7, 0), (7, 2), (5, 2))],
+    ]
+    rows = [
+        (1, W.polygon_wkb(rect)),
+        (2, W.polygon_wkb(ell)),
+        (3, W.polygon_wkb(holed)),
+        (4, W.multipolygon_wkb(two)),
+    ]
+    df = local_df(spark, rows, "gid int, geometry binary")
+    buffered = df.withColumn("buf", buffer_polygons_wkb(0.5, 8)("geometry"))
+    st = wkb_stats_udf()
+    return buffered.select("gid", st(F.col("buf")).alias("s")).select(
+        "gid",
+        F.col("s.n_polys").alias("n_polys"),
+        F.col("s.n_rings").alias("n_rings"),
+        F.round(F.col("s.area"), 6).alias("area"),
+    )
+
+
 def q_simplify_coverage(spark, sf_dir):
     """gdal vector simplify-coverage
     (apps/gdalalg_vector_simplify_coverage.cpp): two zones tiling an
@@ -2677,6 +2718,7 @@ _QUERIES = {
         "vector_concat": q_vector_concat,
         "vector_sql": q_vector_sql,
         "make_valid": q_make_valid,
+        "geom_buffer_poly": q_geom_buffer_poly,
         "geodesic": q_geodesic,
         "simplify_coverage": q_simplify_coverage,
         "cascaded_union": q_cascaded_union,
@@ -3046,6 +3088,19 @@ def oracle_sql() -> dict[str, str]:
         # (5) 4+4-1 union; (6) spike edge drawn twice cancels mod 2;
         # (7) 100-4. WKTs in the engine's canonical form (outer CCW,
         # holes CW, rings start at lexicographic min vertex).
+        # closed forms: K=32 disk; full-turn fan area (K/2)*r^2*sin(2pi/K)
+        # = 16*0.25*sin(pi/16); L-shape: 5 quarter fans, one right-angle
+        # reflex corner overlaps its two edge strips in an r x r square;
+        # hole 4x4 shrinks to (4-2r)^2 = 9
+        "geom_buffer_poly": """
+            SELECT gid, n_polys, n_rings, ROUND(area, 6) AS area
+            FROM (VALUES
+              (1, 1, 1, 48 + 28*0.5 + 16*0.25*SIN(PI()/16)),
+              (2, 1, 1, 27 + 24*0.5 + 5*4*0.25*SIN(PI()/16) - 0.25),
+              (3, 1, 2, 100 + 40*0.5 + 16*0.25*SIN(PI()/16) - 9.0),
+              (4, 2, 2, 2*(4 + 8*0.5 + 16*0.25*SIN(PI()/16)))
+            ) AS t(gid, n_polys, n_rings, area)
+        """,
         "make_valid": """
             SELECT * FROM (VALUES
               (1, 2, 2, 50.0,

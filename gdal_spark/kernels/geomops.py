@@ -16,7 +16,15 @@ Segmentize; sqlite dialect ST_Buffer ogrsqlitesqlfunctions.cpp:997):
     quadrant (GEOS default quadsegs), vertices at angles 2*pi*k/(4*qs)
     counter-clockwise from +x (our documented convention; GEOS's
     start/orientation differs but the vertex SET geometry matches the
-    same approximation).
+    same approximation);
+  * buffer_polygon — positive buffer of a (multi)polygon as the
+    Minkowski dilation by the same discretized disk: union of the
+    polygon, a 2r-wide rectangle swept along every edge, and a full
+    disk K-gon at every vertex, resolved by the make-valid planar
+    arrangement (a point is buffered iff ANY piece covers it). Holes
+    shrink, nearby parts merge — the sqlite-dialect ST_Buffer
+    (ogrsqlitesqlfunctions.cpp:997 -> GEOS buffer) observable behavior
+    under a documented disk discretization.
 """
 
 from __future__ import annotations
@@ -111,3 +119,51 @@ def buffer_point(x: float, y: float, radius: float, quadsegs: int = 8) -> list:
     ]
     ring.append(ring[0])
     return ring
+
+
+def buffer_polygon(polys, radius: float, quadsegs: int = 8) -> list:
+    """Positive buffer of a (multi)polygon by Minkowski dilation.
+
+    polys: list of polygon components, each a list of rings (outer +
+    holes), each ring a closed sequence of (x, y). Returns valid
+    polygons [[outer, hole, ...], ...] (same shape as
+    makevalid.make_valid output).
+
+    dilate(P, r) = P ∪ (∂P ⊕ disk_r): the boundary sweep is exactly the
+    union over edges of a 2r-wide rectangle centered on the edge plus a
+    full disk at every vertex (capsules). All pieces plus the original
+    components go through the make-valid arrangement whose
+    cross-component rule is "covered by ANY component" — overlaps
+    dissolve, holes shrink by r (sharp inner corners, round outer
+    corners), parts closer than 2r merge. O(n^2) segment noding: per-row
+    geometry kernel, same scale posture as cascaded_union (geometry
+    tables are the small side; the sweep pieces of one row never leave
+    the row's task)."""
+    comps = []
+    for rings in polys:
+        comp = []
+        for ring in rings:
+            pts = [(float(p[0]), float(p[1])) for p in ring]
+            if len(pts) > 1 and pts[0] == pts[-1]:
+                pts = pts[:-1]
+            if len(pts) < 3:
+                continue
+            comp.append(pts)
+            for i in range(len(pts)):
+                a, b = pts[i], pts[(i + 1) % len(pts)]
+                dx, dy = b[0] - a[0], b[1] - a[1]
+                ln = math.hypot(dx, dy)
+                if ln > 0.0:
+                    nx, ny = -dy / ln * radius, dx / ln * radius
+                    comps.append([[
+                        (a[0] + nx, a[1] + ny),
+                        (b[0] + nx, b[1] + ny),
+                        (b[0] - nx, b[1] - ny),
+                        (a[0] - nx, a[1] - ny),
+                    ]])
+                comps.append([buffer_point(a[0], a[1], radius, quadsegs)])
+        if comp:
+            comps.append(comp)
+    from . import makevalid as MV
+
+    return MV.make_valid(comps)

@@ -94,6 +94,34 @@ def make_valid_wkb(geom: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def buffer_polygons_wkb(radius: float, quadsegs: int = 8):
+    """pandas_udf factory: ST_Buffer of (multi)polygon WKBs
+    (ogrsqlitesqlfunctions.cpp:997 -> GEOS buffer; our documented disk
+    discretization, kernels/geomops.buffer_polygon). Rows are
+    independent — one Arrow batch pass, no shuffle; the O(V^2) sweep
+    arrangement of each row stays inside its task."""
+
+    @F.pandas_udf(BinaryType())
+    def _f(geom: pd.Series) -> pd.Series:
+        out = []
+        for buf in geom:
+            if buf is None:
+                out.append(None)
+                continue
+            polys = G.buffer_polygon(
+                W.decode_polygons(bytes(buf)), radius, quadsegs
+            )
+            if not polys:
+                out.append(None)
+            elif len(polys) == 1:
+                out.append(W.polygon_wkb(polys[0]))
+            else:
+                out.append(W.multipolygon_wkb(polys))
+        return pd.Series(out)
+
+    return _f
+
+
 def cascaded_union(
     df: DataFrame,
     geom_col: str = "geometry",
