@@ -2437,6 +2437,41 @@ def q_cascaded_union(spark, sf_dir):
     )
 
 
+def q_contour_polys(spark, sf_dir):
+    """Iso-polygon contouring (gdal_contour -p, alg/contour.cpp polygon
+    writer) over a tilted-plane raster f = px + 0.25*py (pixel centers),
+    levels 10..18 step 2. Interior bands are parallelogram strips of
+    exact area (level step) * (H-1) = 2*29 = 58 — marching-squares
+    chords reproduce a linear field's iso-lines exactly, so the
+    closed-form oracle pins sub-pixel boundary assembly end-to-end
+    (block halo exchange, local + global edge cancellation, per-band
+    ring chaining)."""
+    import numpy as np
+
+    from gdal_spark.operators.contour_op import contour_polygons
+    from gdal_spark.operators.raster import raster_from_array
+
+    W, H = 40, 30
+    xs = np.arange(W) + 0.5
+    ys = np.arange(H) + 0.5
+    arr = xs[None, :] + 0.25 * ys[:, None]
+    blocks, meta = raster_from_array(
+        spark, arr, (0, 1, 0, 0, 0, 1), "EPSG:4326", block=16
+    )
+    out = contour_polygons(blocks, meta, [10.0, 12.0, 14.0, 16.0, 18.0])
+    return (
+        out.filter((F.col("band") >= 1) & (F.col("band") <= 4))
+        .select(
+            "band",
+            (8.0 + 2.0 * F.col("band")).alias("lev_min"),
+            (10.0 + 2.0 * F.col("band")).alias("lev_max"),
+            "n_polys", "n_rings",
+            F.round("area", 6).alias("area"),
+        )
+        .orderBy("band")
+    )
+
+
 def q_geom_buffer_poly(spark, sf_dir):
     """ST_Buffer of (multi)polygons (ogrsqlitesqlfunctions.cpp:997 ->
     GEOS buffer): Minkowski dilation by a 32-gon disk via the make-valid
@@ -2719,6 +2754,7 @@ _QUERIES = {
         "vector_sql": q_vector_sql,
         "make_valid": q_make_valid,
         "geom_buffer_poly": q_geom_buffer_poly,
+        "contour_polys": q_contour_polys,
         "geodesic": q_geodesic,
         "simplify_coverage": q_simplify_coverage,
         "cascaded_union": q_cascaded_union,
@@ -3092,6 +3128,18 @@ def oracle_sql() -> dict[str, str]:
         # = 16*0.25*sin(pi/16); L-shape: 5 quarter fans, one right-angle
         # reflex corner overlaps its two edge strips in an r x r square;
         # hole 4x4 shrinks to (4-2r)^2 = 9
+        # interior band strips of the tilted plane: width 2 in level
+        # space, height H-1 = 29 rows of squares -> area 58 each
+        "contour_polys": """
+            SELECT band, lev_min, lev_max, n_polys, n_rings, area
+            FROM (VALUES
+              (1, 10.0, 12.0, 1, 1, 58.0),
+              (2, 12.0, 14.0, 1, 1, 58.0),
+              (3, 14.0, 16.0, 1, 1, 58.0),
+              (4, 16.0, 18.0, 1, 1, 58.0)
+            ) AS t(band, lev_min, lev_max, n_polys, n_rings, area)
+            ORDER BY band
+        """,
         "geom_buffer_poly": """
             SELECT gid, n_polys, n_rings, ROUND(area, 6) AS area
             FROM (VALUES
