@@ -66,3 +66,48 @@ def test_single_agg_for_tile_counts(spark, sf_dir):
     plan = plan_of(t)
     assert plan.count("Exchange") <= 2  # AQE may show shuffle read+write
     assert "HashAggregate" in plan
+
+
+def test_bbox_covering_pushdown(spark, sf_dir, tmp_path):
+    """GeoParquet-style bbox covering pruning on the engine's own page
+    layout: an indexed pages table written to parquet carries lat/lon
+    (and cell) columns whose row-group min/max stats serve as the bbox
+    covering; range predicates reach the scan as PushedFilters so
+    out-of-bbox row groups are skipped by the reader."""
+    p = pages_from_documents(spark, sf_dir, keep_internal=True).filter(
+        F.col("lat").isNotNull()
+    )
+    path = str(tmp_path / "pages_indexed")
+    p.select("url", "lat", "lon").write.mode("overwrite").parquet(path)
+    q = spark.read.parquet(path).filter(
+        (F.col("lat") > 10.0) & (F.col("lat") < 20.0)
+        & (F.col("lon") > -5.0) & (F.col("lon") < 5.0)
+    )
+    plan = plan_of(q)
+    assert "PushedFilters" in plan
+    frags = ("GreaterThan(lat,10.0)", "LessThan(lat,20.0)",
+             "GreaterThan(lon,-5.0)", "LessThan(lon,5.0)")
+    # the plan's PushedFilters list truncates with "..." — require most
+    # of the bbox predicates to be visibly pushed
+    assert sum(f in plan for f in frags) >= 3, plan
+
+
+def test_warp_single_data_exchange(spark):
+    """Warp = broadcast join (need side) + ONE hash exchange into the
+    per-group python stage — the src blocks are never shuffled twice."""
+    import numpy as np
+    import re
+
+    from gdal_spark.operators import raster as R
+
+    arr = np.arange(64.0 * 64.0).reshape(64, 64)
+    blocks, src = R.raster_from_array(
+        spark, arr, (0, 0.01, 0, 0, 0, -0.01), "EPSG:4326", block=16
+    )
+    dst = R.RasterMeta(64, 64, (0, 0.01, 0, 0, 0, -0.01), "EPSG:3857", block=16)
+    plan = plan_of(R.warp(blocks, src, dst, "near"))
+    non_broadcast = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bExchange\b", ln) and "Broadcast" not in ln
+    ]
+    assert len(non_broadcast) <= 1, non_broadcast
