@@ -2250,6 +2250,71 @@ def q_overlay_intersection(spark, sf_dir):
     )
 
 
+def q_zone_predicates(spark, sf_dir):
+    """Polygon x polygon spatial predicates (OGRGeometry::Intersects/
+    Contains/Within -> GEOS, ogrgeometry.cpp) derived from the exact
+    layer-algebra Intersection: for polygons, Contains(a,b) iff
+    area(a ∩ b) == area(b) (interior-positive fixtures), Within is the
+    transpose, Intersects iff the intersection area is positive. The
+    pair grid left-joins the cell-bucketed overlay so disjoint pairs
+    report false without ever forming an all-pairs product at scale."""
+    from gdal_spark.kernels import wkb as W
+    from gdal_spark.operators.overlay import overlay_intersection
+    from gdal_spark.session import local_df
+
+    def rect_wkb(x0, y0, x1, y1):
+        return W.polygon_wkb(
+            [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]]
+        )
+
+    A = [(1, 0, 0, 4, 4), (2, 10, 0, 14, 4), (3, 20, 0, 24, 4)]
+    B = [
+        (11, 1, 1, 3, 3),    # strictly within A1
+        (12, 12, 2, 16, 6),  # partial overlap with A2 (2x2)
+        (13, 30, 0, 32, 2),  # disjoint from all
+        (14, 20, 0, 24, 4),  # exactly equals A3
+    ]
+
+    def layer(rows):
+        return local_df(
+            spark,
+            [
+                (
+                    zid, f"z{zid}",
+                    float((x1 - x0) * (y1 - y0)),
+                    rect_wkb(x0, y0, x1, y1),
+                )
+                for zid, x0, y0, x1, y1 in rows
+            ],
+            "zone_id int, name string, area double, geometry binary",
+        )
+
+    a, b = layer(A), layer(B)
+    inter = overlay_intersection(a, b, cell=8.0)
+    pairs = a.select(
+        F.col("zone_id").alias("aid"), F.col("area").alias("area_a")
+    ).crossJoin(
+        b.select(F.col("zone_id").alias("bid"), F.col("area").alias("area_b"))
+    )
+    j = pairs.join(
+        inter.select(
+            F.col("zone_a").alias("aid"),
+            F.col("zone_b").alias("bid"),
+            F.col("area").alias("iarea"),
+        ),
+        ["aid", "bid"],
+        "left",
+    ).fillna({"iarea": 0.0})
+    eps = 1e-9
+    return j.select(
+        "aid", "bid",
+        (F.col("iarea") > eps).alias("intersects"),
+        (F.abs(F.col("iarea") - F.col("area_b")) < eps).alias("contains"),
+        (F.abs(F.col("iarea") - F.col("area_a")) < eps).alias("within"),
+        F.round("iarea", 9).alias("inter_area"),
+    ).orderBy("aid", "bid")
+
+
 def q_overlay_fishnet(spark, sf_dir):
     """Layer-algebra Intersection vs a fishnet grid (ogrlayer.cpp:3345
     nested-loop semantics as a cell-keyed two-phase join + exact
@@ -2755,6 +2820,7 @@ _QUERIES = {
         "make_valid": q_make_valid,
         "geom_buffer_poly": q_geom_buffer_poly,
         "contour_polys": q_contour_polys,
+        "zone_predicates": q_zone_predicates,
         "geodesic": q_geodesic,
         "simplify_coverage": q_simplify_coverage,
         "cascaded_union": q_cascaded_union,
@@ -3128,6 +3194,23 @@ def oracle_sql() -> dict[str, str]:
         # = 16*0.25*sin(pi/16); L-shape: 5 quarter fans, one right-angle
         # reflex corner overlaps its two edge strips in an r x r square;
         # hole 4x4 shrinks to (4-2r)^2 = 9
+        "zone_predicates": """
+            SELECT * FROM (VALUES
+              (1, 11, TRUE,  TRUE,  FALSE, 4.0),
+              (1, 12, FALSE, FALSE, FALSE, 0.0),
+              (1, 13, FALSE, FALSE, FALSE, 0.0),
+              (1, 14, FALSE, FALSE, FALSE, 0.0),
+              (2, 11, FALSE, FALSE, FALSE, 0.0),
+              (2, 12, TRUE,  FALSE, FALSE, 4.0),
+              (2, 13, FALSE, FALSE, FALSE, 0.0),
+              (2, 14, FALSE, FALSE, FALSE, 0.0),
+              (3, 11, FALSE, FALSE, FALSE, 0.0),
+              (3, 12, FALSE, FALSE, FALSE, 0.0),
+              (3, 13, FALSE, FALSE, FALSE, 0.0),
+              (3, 14, TRUE,  TRUE,  TRUE, 16.0)
+            ) AS t(aid, bid, intersects, contains, within, inter_area)
+            ORDER BY aid, bid
+        """,
         # interior band strips of the tilted plane: width 2 in level
         # space, height H-1 = 29 rows of squares -> area 58 each
         "contour_polys": """

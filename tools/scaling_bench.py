@@ -102,6 +102,26 @@ def minhash():
     from bench import run_minhash_bench
     return run_minhash_bench(spark, 500000)["docs_per_sec"]
 
+from gdal_spark.operators import raster as R
+from gdal_spark.kernels.warp import transform_coords as _tc
+WSIZE = 4096
+_wgt = (-13100000.0, 60.0, 0.0, 4000000.0, 0.0, -60.0)
+_wsrc = R.RasterMeta(WSIZE, WSIZE, _wgt, "EPSG:3857", block=256)
+_a0 = _tc(_wgt[0], _wgt[3], "EPSG:3857", "EPSG:4326")
+_a1 = _tc(_wgt[0] + WSIZE * 60.0, _wgt[3] - WSIZE * 60.0, "EPSG:3857", "EPSG:4326")
+_wdst = R.RasterMeta(
+    WSIZE, WSIZE,
+    (_a0[0], (_a1[0] - _a0[0]) / WSIZE, 0.0, _a0[1], 0.0, (_a1[1] - _a0[1]) / WSIZE),
+    "EPSG:4326", block=256)
+_wblocks = None
+
+def warp():
+    global _wblocks
+    if _wblocks is None:
+        _wblocks = R.synthetic_raster(spark, _wsrc, packed=True).persist()
+        _wblocks.count()
+    return R.warp(_wblocks, _wsrc, _wdst, "near").count()
+
 def timed(fn):
     vals = []
     fn()
@@ -119,6 +139,7 @@ sys.path.insert(0, "/root/repo")
 out["pip_scan"] = timed(pip_scan)
 out["pipe_compute"] = timed(pipe_compute)
 out["minhash"] = timed(minhash)
+out["warp"] = timed(warp)
 out["pipe_io"] = timed(pipe_io)
 print("WORKER_RESULT " + json.dumps(out))
 '''
@@ -186,9 +207,9 @@ def main() -> None:
     hw_speedup = burn_tp[hi] / burn_tp[lo]
     floor = {l: med(acc[l]["floor"]) for l in (lo, hi)}
 
-    stages = ["pip_scan", "pipe_compute", "minhash", "pipe_io"]
+    stages = ["pip_scan", "pipe_compute", "minhash", "warp", "pipe_io"]
     sizes = {"pip_scan": args.n_scan, "pipe_compute": args.n_pipe,
-             "minhash": 500_000, "pipe_io": args.n_io}
+             "minhash": 500_000, "warp": 4096 * 4096, "pipe_io": args.n_io}
     rows = []
     for st in stages:
         t_lo, t_hi = med(acc[lo][st]), med(acc[hi][st])
@@ -267,6 +288,9 @@ Stage definitions:
 * **pipe_compute** — full north-star pipeline on in-memory pages:
   PIP membership + rasterize z8 + single-shuffle pyramid to z5.
 * **minhash** — MinHash signature stage (JVM md5 HOFs, allocation-heavy).
+* **warp** — 4096^2 near-neighbor reprojection 3857->4326 on persisted
+  packed-binary blocks (rows = pixels): broadcast need-join + ONE hash
+  exchange into the grouped numpy kernel, 2x2 dst groups per gather.
 * **pipe_io** — the round-1 configuration (parquet read + html regex
   extract + HOF PIP join + pyramid): bandwidth-bound on this box, kept
   for transparency against BENCH_r01.
