@@ -228,6 +228,14 @@ def q_ann_lsh_mp(spark, sf_dir):
     return SIM.ann_lsh_mp(e, SIM.queries_subset(e), ANN_K)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (inverted-file coarse quantizer + nprobe list search) —
+    deterministic seeding shared with the oracle; assignment is a
+    shuffle-free codegen argmax over driver-compiled centroid literals."""
+    e = _emb(spark, sf_dir)
+    return SIM.ann_ivf(e, SIM.queries_subset(e), ANN_K)
+
+
 # ------------------------------------------- OGR SQL dialect semantics
 
 
@@ -2743,6 +2751,7 @@ _QUERIES = {
         "ann_brute": q_ann_brute,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_mp": q_ann_lsh_mp,
+        "ann_ivf": q_ann_ivf,
         "ogr_summary": q_ogr_summary,
         "ogr_distinct": q_ogr_distinct,
         "ogr_first_match_join": q_ogr_first_match_join,
@@ -2905,6 +2914,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute": SIM.ann_brute_sql(ANN_K),
         "ann_lsh": SIM.ann_lsh_sql(ANN_K),
         "ann_lsh_mp": SIM.ann_lsh_mp_sql(ANN_K),
+        "ann_ivf": SIM.ann_ivf_sql(ANN_K),
         "ogr_summary": f"""
             SELECT COUNT(*) AS n_rows,
                    COUNT(DISTINCT l_returnflag) AS n_flags,

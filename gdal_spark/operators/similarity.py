@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .topk import topk_per_group
 
@@ -210,5 +211,116 @@ def ann_lsh_sql(k: int, modulus: int = 50, rel: str = "embeddings") -> str:
         FROM (SELECT vec_id, embedding, {_bucket_duck('embedding')} AS bucket
               FROM {rel}) e
         JOIN q ON e.bucket = q.bucket
+      ) WHERE rank <= {k}
+    """
+
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def ann_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cent: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF ANN — the inverted-file scale path: a coarse quantizer assigns
+    every vector to its nearest centroid; a query probes only its
+    `nprobe` nearest centroid lists, turning top-k into an equi-join on
+    the list id.
+
+    The quantizer is deterministically seeded (centroids = the n_cent
+    lowest vec_ids, zero Lloyd iterations) so both engines share it
+    exactly — training quality is a hyperparameter orthogonal to the
+    index/search structure; recall vs ann_brute is measured in
+    tests/test_ann_recall.py. The centroids collect to the driver (tiny,
+    same fast path as the zone compiles) and the assignment becomes a
+    pure whole-stage-codegen projection: argmax over n_cent literal
+    cosines via greatest(struct(cos, -cid)) — the corpus is NEVER
+    shuffled, only probed-list candidates reach the re-rank."""
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(n_cent)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+        .collect()
+    )
+
+    def lit_vec(vals):
+        return "array(" + ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in vals) + ")"
+
+    def cos_to(col, row):
+        return F.expr(_cos_expr(col, lit_vec(row["cvec"])))
+
+    best = F.greatest(
+        *[
+            F.struct(
+                cos_to("embedding", r).alias("c"),
+                F.lit(-int(r["cid"])).alias("n"),
+            )
+            for r in cents
+        ]
+    )
+    assigned = emb.withColumn("cid", -best["n"]).select(
+        "vec_id", "embedding", "cid"
+    )
+    qsorted = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-cos_to("qvec", r)).alias("nc"),
+                    F.lit(int(r["cid"])).alias("cid"),
+                )
+                for r in cents
+            ]
+        )
+    )
+    qprobe = (
+        queries.withColumn("probe", F.explode(F.slice(qsorted, 1, nprobe)))
+        .select("query_id", "qvec", F.col("probe.cid").alias("cid"))
+    )
+    cand = assigned.join(F.broadcast(qprobe), "cid").withColumn(
+        "cos", F.expr(_cos_expr("embedding", "qvec"))
+    )
+    return _rerank_cos(cand, k)
+
+
+def ann_ivf_sql(
+    k: int,
+    modulus: int = 50,
+    rel: str = "embeddings",
+    n_cent: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+) -> str:
+    ccos = _cos_duck("e.embedding", "c.cvec")
+    qccos = _cos_duck("q.qvec", "c.cvec")
+    cos = _cos_duck("a.embedding", "p.qvec")
+    return f"""
+      WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM {rel}
+                 ORDER BY vec_id LIMIT {n_cent}),
+      a AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {ccos} DESC, c.cid) AS crank
+          FROM {rel} e, c
+        ) WHERE crank = 1
+      ),
+      q AS (SELECT vec_id AS query_id, embedding AS qvec FROM {rel}
+            WHERE vec_id % {modulus} = 0),
+      p AS (
+        SELECT query_id, qvec, cid FROM (
+          SELECT q.query_id, q.qvec, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                    ORDER BY {qccos} DESC, c.cid) AS qrank
+          FROM q, c
+        ) WHERE qrank <= {nprobe}
+      )
+      SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT p.query_id, a.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                  ORDER BY {cos} DESC, a.vec_id) AS rank
+        FROM a JOIN p ON a.cid = p.cid
       ) WHERE rank <= {k}
     """

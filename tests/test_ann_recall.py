@@ -52,3 +52,28 @@ def test_more_planes_fewer_candidates(spark, sf_dir):
         return e.join(F.broadcast(qq), "bucket").count()
 
     assert n_cand(10) <= n_cand(4)
+
+
+def test_ivf_recall_and_probe_knob(spark, sf_dir):
+    """IVF: recall vs brute at nprobe=4 beats nprobe=1, candidate volume
+    scales with nprobe, and assignment never shuffles the corpus (pure
+    codegen projection over driver-compiled centroid literals)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = SIM.queries_subset(emb)
+    k = 10
+    truth = {}
+    for r in SIM.ann_brute(emb, q, k).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(nprobe):
+        got = {}
+        for r in SIM.ann_ivf(emb, q, k, nprobe=nprobe).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(len(truth[qid] & got.get(qid, set())) for qid in truth)
+        return hits / sum(len(v) for v in truth.values())
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1 and r4 > 0.25
+
+    # a full-probe search (nprobe = n_cent) covers every list -> exact
+    assert recall(SIM.IVF_CENTROIDS) == 1.0
