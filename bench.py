@@ -197,6 +197,22 @@ def run_warp_bench(spark, size: int = 4096) -> dict:
         )
         assert n == dst.nbx * dst.nby
     blocks.unpersist()
+    # byte-transport variant (GDT_Byte rasters packed as u1 ship 8x
+    # fewer bytes through the exchange + Arrow; values identical for
+    # near on a byte-valued raster)
+    b1 = R.synthetic_raster(spark, src, packed=True, dtype="u1").persist()
+    b1.count()
+    R.warp(b1, src, dst, "near").count()
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        n = R.warp(b1, src, dst, "near").count()
+        reps.append(round(time.time() - t0, 3))
+    best = min(reps)
+    out[f"warp_{size}_near_u1_sec"] = best
+    out[f"warp_{size}_near_u1_reps"] = reps
+    out[f"warp_{size}_near_u1_mpix_per_sec"] = round(size * size / best / 1e6, 1)
+    b1.unpersist()
     return out
 
 

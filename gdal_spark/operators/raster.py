@@ -101,14 +101,23 @@ def _is_packed(blocks: DataFrame) -> bool:
     return isinstance(blocks.schema["block"].dataType, BinaryType)
 
 
-def pack_blocks(blocks: DataFrame) -> DataFrame:
-    """array<double> block table -> packed binary block table."""
+def pack_blocks(blocks: DataFrame, dtype: str = "<f8") -> DataFrame:
+    """array<double> block table -> packed binary block table.
+
+    dtype is the TRANSPORT type (little-endian numpy code: '<f8', '<f4',
+    '<i2', 'u1' — the GDAL Float64/Float32/Int16/Byte ladder): a Byte
+    raster packed as u1 ships 8x fewer bytes through every shuffle and
+    Arrow transfer than float64, which is the difference on a
+    bandwidth-bound stage like warp (gcore stores native dtype blocks
+    for the same reason). Kernels always COMPUTE in float64; the payload
+    is self-describing (bytes-per-pixel = len/(w*h)), so no schema or
+    metadata change is needed anywhere downstream."""
 
     def conv(it):
         for pdf in it:
             pdf = pdf.copy()
             pdf["block"] = [
-                np.ascontiguousarray(b, dtype="<f8").tobytes()
+                np.ascontiguousarray(b, dtype=dtype).tobytes()
                 for b in pdf["block"]
             ]
             yield pdf
@@ -119,13 +128,15 @@ def pack_blocks(blocks: DataFrame) -> DataFrame:
 
 
 def unpack_blocks(blocks: DataFrame) -> DataFrame:
-    """packed binary block table -> array<double> block table."""
+    """packed binary block table (any transport dtype) -> array<double>
+    block table."""
 
     def conv(it):
         for pdf in it:
             pdf = pdf.copy()
             pdf["block"] = [
-                np.frombuffer(b, dtype="<f8") for b in pdf["block"]
+                _block_np(b, int(h), int(w)).ravel()
+                for b, w, h in zip(pdf["block"], pdf["w"], pdf["h"])
             ]
             yield pdf
 
@@ -134,20 +145,41 @@ def unpack_blocks(blocks: DataFrame) -> DataFrame:
     )
 
 
+_PACKED_DTYPES = {8: "<f8", 4: "<f4", 2: "<i2", 1: "u1"}
+
+
+def _pack_payload(arr: np.ndarray, dtype: str) -> bytes:
+    """float64 kernel output -> packed payload in the transport dtype.
+    Integer transports use GDALCopyWords' float->int rule (round to
+    nearest via floor(v + 0.5), clamp to the type range;
+    gcore/rasterio.cpp GDALCopyWords float specializations)."""
+    if dtype in ("<f8", "<f4"):
+        return np.ascontiguousarray(arr, dtype=dtype).tobytes()
+    info = np.iinfo(np.dtype(dtype))
+    q = np.clip(np.floor(arr + 0.5), info.min, info.max)
+    return np.ascontiguousarray(q, dtype=dtype).tobytes()
+
+
 def _block_np(blk, h: int, w: int) -> np.ndarray:
-    """One block payload (either form) -> (h, w) float64 view."""
+    """One block payload (either form) -> (h, w) float64 array. Packed
+    payloads are self-describing by bytes-per-pixel (f8/f4/i2/u1)."""
     if isinstance(blk, (bytes, bytearray, memoryview)):
-        return np.frombuffer(blk, dtype="<f8").reshape(h, w)
+        bpp = len(blk) // (h * w)
+        arr = np.frombuffer(blk, dtype=_PACKED_DTYPES[bpp]).reshape(h, w)
+        return arr if bpp == 8 else arr.astype(np.float64)
     return np.asarray(blk, dtype=np.float64).reshape(h, w)
 
 
 def synthetic_raster(
-    spark: SparkSession, meta: RasterMeta, packed: bool = False
+    spark: SparkSession, meta: RasterMeta, packed: bool = False,
+    dtype: str = "<f8",
 ) -> DataFrame:
     """Executor-side deterministic raster: value = (row*7 + col*13) % 256
     (byte-range, GDT_Byte-like — the reference warp bench shape). Blocks
     generate in parallel from spark.range, no driver data. packed=True
-    emits the binary block form (the scale path)."""
+    emits the binary block form (the scale path); dtype picks the packed
+    transport type (see pack_blocks — 'u1' is the faithful GDT_Byte
+    shape and ships 8x fewer bytes)."""
     nbx, block = meta.nbx, meta.block
     width, height = meta.width, meta.height
 
@@ -167,7 +199,12 @@ def synthetic_raster(
                 )
                 arr = ((jj * 7 + ii * 13) % 256).astype(np.float64)
                 rows.append(
-                    (bx, by, w, h, arr.tobytes() if packed else arr.ravel())
+                    (
+                        bx, by, w, h,
+                        np.ascontiguousarray(arr, dtype=dtype).tobytes()
+                        if packed
+                        else arr.ravel(),
+                    )
                 )
             yield pd.DataFrame(
                 rows, columns=["bx", "by", "w", "h", "block"]
@@ -302,11 +339,14 @@ def warp(
         x1 = min(int((pdf["bx"].max() + 1) * sbs), src_w)
         y1 = min(int((pdf["by"].max() + 1) * sbs), src_h)
         mosaic = np.full((y1 - y0, x1 - x0), nodata, dtype=np.float64)
+        tdt = "<f8"  # output transport follows the input blocks' dtype
         for sbx, sby, sw, sh, blk in zip(
             pdf["bx"], pdf["by"], pdf["w"], pdf["h"], pdf["block"]
         ):
             ox, oy = sbx * sbs - x0, sby * sbs - y0
             mosaic[oy : oy + sh, ox : ox + sw] = _block_np(blk, sh, sw)
+            if packed:
+                tdt = _PACKED_DTYPES[len(blk) // (int(sh) * int(sw))]
         out_rows: dict = {"bx": [], "by": [], "w": [], "h": [], "block": []}
         for dby in range(gy * g, min((gy + 1) * g, nby_dst)):
             for dbx in range(gx * g, min((gx + 1) * g, nbx_dst)):
@@ -330,9 +370,7 @@ def warp(
                 out_rows["w"].append(dw)
                 out_rows["h"].append(dh)
                 out_rows["block"].append(
-                    np.ascontiguousarray(out, dtype="<f8").tobytes()
-                    if packed
-                    else out.ravel()
+                    _pack_payload(out, tdt) if packed else out.ravel()
                 )
         return pd.DataFrame(out_rows)
 

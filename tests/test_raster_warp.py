@@ -168,3 +168,33 @@ def test_warp_mode_and_box_downsample(spark):
             assert abs(avg[by, bx] - (v + 1.0)) < 1e-9  # (3v + v+4)/4
             assert mn[by, bx] == v
             assert mx[by, bx] == v + 4.0
+
+
+def test_packed_byte_transport(spark):
+    """u1-packed blocks (GDT_Byte transport, 8x fewer bytes) warp to the
+    same values as f8: near is byte-exact; interpolating resamplers
+    round with GDALCopyWords' floor(v + 0.5) clamp into the byte
+    transport."""
+    import numpy as np
+
+    from gdal_spark.operators import raster as R
+    from gdal_spark.kernels.warp import transform_coords as tc
+
+    s = 512
+    gt = (-13100000.0, 60.0, 0.0, 4000000.0, 0.0, -60.0)
+    src = R.RasterMeta(s, s, gt, "EPSG:3857", block=128)
+    a0 = tc(gt[0], gt[3], "EPSG:3857", "EPSG:4326")
+    a1 = tc(gt[0] + s * 60.0, gt[3] - s * 60.0, "EPSG:3857", "EPSG:4326")
+    dst = R.RasterMeta(
+        s, s,
+        (a0[0], (a1[0] - a0[0]) / s, 0.0, a0[1], 0.0, (a1[1] - a0[1]) / s),
+        "EPSG:4326", block=128,
+    )
+    b8 = R.synthetic_raster(spark, src, packed=True)
+    b1 = R.synthetic_raster(spark, src, packed=True, dtype="u1")
+    w8 = R.raster_to_array(R.warp(b8, src, dst, "near"), dst)
+    w1 = R.raster_to_array(R.warp(b1, src, dst, "near"), dst)
+    assert np.array_equal(w8, w1)
+    wb8 = R.raster_to_array(R.warp(b8, src, dst, "bilinear"), dst)
+    wb1 = R.raster_to_array(R.warp(b1, src, dst, "bilinear"), dst)
+    assert np.array_equal(wb1, np.clip(np.floor(wb8 + 0.5), 0, 255))
