@@ -2260,13 +2260,16 @@ def q_overlay_intersection(spark, sf_dir):
 
 def q_zone_predicates(spark, sf_dir):
     """Polygon x polygon spatial predicates (OGRGeometry::Intersects/
-    Contains/Within -> GEOS, ogrgeometry.cpp) derived from the exact
-    layer-algebra Intersection: for polygons, Contains(a,b) iff
-    area(a ∩ b) == area(b) (interior-positive fixtures), Within is the
-    transpose, Intersects iff the intersection area is positive. The
-    pair grid left-joins the cell-bucketed overlay so disjoint pairs
-    report false without ever forming an all-pairs product at scale."""
+    Contains/Within/Touches -> GEOS, ogrgeometry.cpp) derived from the
+    exact layer-algebra Intersection plus an exact boundary-contact
+    kernel: Contains(a,b) iff area(a ∩ b) == area(b) (interior-positive
+    fixtures), Within is the transpose, Touches iff boundaries share a
+    point while the interiors are disjoint (DE-9IM II=F with a BB/IB/BI
+    hit), Intersects iff positive overlap OR touch. The pair grid
+    left-joins the cell-bucketed overlay so disjoint pairs report false
+    without ever forming an all-pairs product at scale."""
     from gdal_spark.kernels import wkb as W
+    from gdal_spark.operators.geom import boundaries_touch_wkb
     from gdal_spark.operators.overlay import overlay_intersection
     from gdal_spark.session import local_df
 
@@ -2281,6 +2284,7 @@ def q_zone_predicates(spark, sf_dir):
         (12, 12, 2, 16, 6),  # partial overlap with A2 (2x2)
         (13, 30, 0, 32, 2),  # disjoint from all
         (14, 20, 0, 24, 4),  # exactly equals A3
+        (15, 4, 0, 6, 4),    # shares the x=4 edge with A1 (touches)
     ]
 
     def layer(rows):
@@ -2300,9 +2304,15 @@ def q_zone_predicates(spark, sf_dir):
     a, b = layer(A), layer(B)
     inter = overlay_intersection(a, b, cell=8.0)
     pairs = a.select(
-        F.col("zone_id").alias("aid"), F.col("area").alias("area_a")
+        F.col("zone_id").alias("aid"),
+        F.col("area").alias("area_a"),
+        F.col("geometry").alias("geom_a"),
     ).crossJoin(
-        b.select(F.col("zone_id").alias("bid"), F.col("area").alias("area_b"))
+        b.select(
+            F.col("zone_id").alias("bid"),
+            F.col("area").alias("area_b"),
+            F.col("geometry").alias("geom_b"),
+        )
     )
     j = pairs.join(
         inter.select(
@@ -2312,13 +2322,16 @@ def q_zone_predicates(spark, sf_dir):
         ),
         ["aid", "bid"],
         "left",
-    ).fillna({"iarea": 0.0})
+    ).fillna({"iarea": 0.0}).withColumn(
+        "btouch", boundaries_touch_wkb("geom_a", "geom_b")
+    )
     eps = 1e-9
     return j.select(
         "aid", "bid",
-        (F.col("iarea") > eps).alias("intersects"),
+        ((F.col("iarea") > eps) | F.col("btouch")).alias("intersects"),
         (F.abs(F.col("iarea") - F.col("area_b")) < eps).alias("contains"),
         (F.abs(F.col("iarea") - F.col("area_a")) < eps).alias("within"),
+        (F.col("btouch") & (F.col("iarea") <= eps)).alias("touches"),
         F.round("iarea", 9).alias("inter_area"),
     ).orderBy("aid", "bid")
 
@@ -3206,19 +3219,22 @@ def oracle_sql() -> dict[str, str]:
         # hole 4x4 shrinks to (4-2r)^2 = 9
         "zone_predicates": """
             SELECT * FROM (VALUES
-              (1, 11, TRUE,  TRUE,  FALSE, 4.0),
-              (1, 12, FALSE, FALSE, FALSE, 0.0),
-              (1, 13, FALSE, FALSE, FALSE, 0.0),
-              (1, 14, FALSE, FALSE, FALSE, 0.0),
-              (2, 11, FALSE, FALSE, FALSE, 0.0),
-              (2, 12, TRUE,  FALSE, FALSE, 4.0),
-              (2, 13, FALSE, FALSE, FALSE, 0.0),
-              (2, 14, FALSE, FALSE, FALSE, 0.0),
-              (3, 11, FALSE, FALSE, FALSE, 0.0),
-              (3, 12, FALSE, FALSE, FALSE, 0.0),
-              (3, 13, FALSE, FALSE, FALSE, 0.0),
-              (3, 14, TRUE,  TRUE,  TRUE, 16.0)
-            ) AS t(aid, bid, intersects, contains, within, inter_area)
+              (1, 11, TRUE,  TRUE,  FALSE, FALSE, 4.0),
+              (1, 12, FALSE, FALSE, FALSE, FALSE, 0.0),
+              (1, 13, FALSE, FALSE, FALSE, FALSE, 0.0),
+              (1, 14, FALSE, FALSE, FALSE, FALSE, 0.0),
+              (1, 15, TRUE,  FALSE, FALSE, TRUE,  0.0),
+              (2, 11, FALSE, FALSE, FALSE, FALSE, 0.0),
+              (2, 12, TRUE,  FALSE, FALSE, FALSE, 4.0),
+              (2, 13, FALSE, FALSE, FALSE, FALSE, 0.0),
+              (2, 14, FALSE, FALSE, FALSE, FALSE, 0.0),
+              (2, 15, FALSE, FALSE, FALSE, FALSE, 0.0),
+              (3, 11, FALSE, FALSE, FALSE, FALSE, 0.0),
+              (3, 12, FALSE, FALSE, FALSE, FALSE, 0.0),
+              (3, 13, FALSE, FALSE, FALSE, FALSE, 0.0),
+              (3, 14, TRUE,  TRUE,  TRUE,  FALSE, 16.0),
+              (3, 15, FALSE, FALSE, FALSE, FALSE, 0.0)
+            ) AS t(aid, bid, intersects, contains, within, touches, inter_area)
             ORDER BY aid, bid
         """,
         # interior band strips of the tilted plane: width 2 in level

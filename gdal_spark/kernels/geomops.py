@@ -167,3 +167,65 @@ def buffer_polygon(polys, radius: float, quadsegs: int = 8) -> list:
     from . import makevalid as MV
 
     return MV.make_valid(comps)
+
+
+def _segs_touch(p1, p2, p3, p4) -> bool:
+    """Do closed segments p1p2 and p3p4 share at least one point?
+    (proper crossing, endpoint/T-touch, collinear overlap)."""
+    def orient(a, b, c):
+        return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+    def on_seg(a, b, c):
+        return (
+            min(a[0], b[0]) <= c[0] <= max(a[0], b[0])
+            and min(a[1], b[1]) <= c[1] <= max(a[1], b[1])
+        )
+
+    d1 = orient(p3, p4, p1)
+    d2 = orient(p3, p4, p2)
+    d3 = orient(p1, p2, p3)
+    d4 = orient(p1, p2, p4)
+    if ((d1 > 0) != (d2 > 0) or d1 == 0 or d2 == 0) and (
+        (d3 > 0) != (d4 > 0) or d3 == 0 or d4 == 0
+    ):
+        if (d1 > 0) != (d2 > 0) and (d3 > 0) != (d4 > 0):
+            return True
+        if d1 == 0 and on_seg(p3, p4, p1):
+            return True
+        if d2 == 0 and on_seg(p3, p4, p2):
+            return True
+        if d3 == 0 and on_seg(p1, p2, p3):
+            return True
+        if d4 == 0 and on_seg(p1, p2, p4):
+            return True
+    return False
+
+
+def boundaries_touch(polys_a, polys_b) -> bool:
+    """Do the boundaries of two (multi)polygons share any point? Exact
+    segment-pair test with a bbox prefilter — the BB/IB/BI leg of the
+    DE-9IM Touches predicate (interior disjointness is decided separately
+    from the intersection area). O(n*m) per pair: per-row geometry
+    kernel, same scale posture as the other WKB kernels."""
+    def segs(polys):
+        out = []
+        for rings in polys:
+            for ring in rings:
+                pts = [(float(p[0]), float(p[1])) for p in ring]
+                for i in range(len(pts) - 1):
+                    out.append((pts[i], pts[i + 1]))
+        return out
+
+    sa, sb = segs(polys_a), segs(polys_b)
+    for a1, a2 in sa:
+        axlo, axhi = min(a1[0], a2[0]), max(a1[0], a2[0])
+        aylo, ayhi = min(a1[1], a2[1]), max(a1[1], a2[1])
+        for b1, b2 in sb:
+            if (
+                max(b1[0], b2[0]) < axlo or min(b1[0], b2[0]) > axhi
+                or max(b1[1], b2[1]) < aylo or min(b1[1], b2[1]) > ayhi
+            ):
+                continue
+            if _segs_touch(a1, a2, b1, b2):
+                return True
+    return False

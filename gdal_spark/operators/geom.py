@@ -17,7 +17,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType
+from pyspark.sql.types import BinaryType, BooleanType
 
 from ..kernels import geomops as G
 from ..kernels import makevalid as MV
@@ -91,6 +91,24 @@ def make_valid_wkb(geom: pd.Series) -> pd.Series:
             out.append(W.polygon_wkb(polys[0]))
         else:
             out.append(W.multipolygon_wkb(polys))
+    return pd.Series(out)
+
+
+@F.pandas_udf(BooleanType())
+def boundaries_touch_wkb(ga: pd.Series, gb: pd.Series) -> pd.Series:
+    """Exact boundary-contact test between two (multi)polygon WKB
+    columns (the BB/IB/BI leg of DE-9IM Touches;
+    kernels/geomops.boundaries_touch). Per-row, one Arrow pass."""
+    out = []
+    for x, y in zip(ga, gb):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        out.append(
+            G.boundaries_touch(
+                W.decode_polygons(bytes(x)), W.decode_polygons(bytes(y))
+            )
+        )
     return pd.Series(out)
 
 
