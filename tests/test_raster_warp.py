@@ -198,3 +198,34 @@ def test_packed_byte_transport(spark):
     wb8 = R.raster_to_array(R.warp(b8, src, dst, "bilinear"), dst)
     wb1 = R.raster_to_array(R.warp(b1, src, dst, "bilinear"), dst)
     assert np.array_equal(wb1, np.clip(np.floor(wb8 + 0.5), 0, 255))
+
+
+def test_group_factor_invariance(spark):
+    """2x2 gather grouping is a pure transport optimization: dst arrays
+    are byte-identical across group factors (and to the ungrouped g=1
+    plan) for every resampler family member we spot-check."""
+    import numpy as np
+
+    from gdal_spark.operators import raster as R
+    from gdal_spark.kernels.warp import transform_coords as tc
+
+    s = 512
+    gt = (-13100000.0, 60.0, 0.0, 4000000.0, 0.0, -60.0)
+    src = R.RasterMeta(s, s, gt, "EPSG:3857", block=128)
+    a0 = tc(gt[0], gt[3], "EPSG:3857", "EPSG:4326")
+    a1 = tc(gt[0] + s * 60.0, gt[3] - s * 60.0, "EPSG:3857", "EPSG:4326")
+    dst = R.RasterMeta(
+        s, s,
+        (a0[0], (a1[0] - a0[0]) / s, 0.0, a0[1], 0.0, (a1[1] - a0[1]) / s),
+        "EPSG:4326", block=128,
+    )
+    blocks = R.synthetic_raster(spark, src, packed=True)
+    for resampling in ("near", "bilinear", "average"):
+        outs = [
+            R.raster_to_array(
+                R.warp(blocks, src, dst, resampling, group_factor=g), dst
+            )
+            for g in (1, 2, 4)
+        ]
+        assert np.array_equal(outs[0], outs[1]), resampling
+        assert np.array_equal(outs[0], outs[2]), resampling
