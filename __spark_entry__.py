@@ -2258,6 +2258,45 @@ def q_overlay_intersection(spark, sf_dir):
     )
 
 
+def q_geom_boolean(spark, sf_dir):
+    """Per-row geometric set ops Difference / SymDifference / Union /
+    Intersection (ogrgeometry.cpp:4895-5453 -> GEOS overlay) on the
+    noded-arrangement kernel: overlapping squares, a nested pair (the
+    difference punches a hole), a disjoint pair, and an identical pair
+    (empty difference). Closed-form areas make the oracle exact."""
+    from gdal_spark.kernels import wkb as W
+    from gdal_spark.operators.geom import geom_boolean_wkb, wkb_stats_udf
+    from gdal_spark.session import local_df
+
+    def sq(x0, y0, s):
+        return W.polygon_wkb(
+            [[(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s), (x0, y0)]]
+        )
+
+    rows = [
+        (1, sq(0, 0, 4), sq(2, 2, 4)),    # overlap 2x2
+        (2, sq(0, 0, 6), sq(2, 2, 2)),    # b nested in a
+        (3, sq(0, 0, 2), sq(5, 5, 2)),    # disjoint
+        (4, sq(0, 0, 3), sq(0, 0, 3)),    # identical
+    ]
+    df = local_df(spark, rows, "gid int, ga binary, gb binary")
+    st = wkb_stats_udf()
+    out = None
+    for op in ("intersection", "union", "difference", "symdifference"):
+        o = df.select(
+            "gid",
+            F.lit(op).alias("op"),
+            st(geom_boolean_wkb(op)("ga", "gb")).alias("s"),
+        ).select(
+            "gid", "op",
+            F.coalesce(F.col("s.n_polys"), F.lit(0)).alias("n_polys"),
+            F.coalesce(F.col("s.n_rings"), F.lit(0)).alias("n_rings"),
+            F.round(F.coalesce(F.col("s.area"), F.lit(0.0)), 9).alias("area"),
+        )
+        out = o if out is None else out.unionByName(o)
+    return out.orderBy("gid", "op")
+
+
 def q_zone_predicates(spark, sf_dir):
     """Polygon x polygon spatial predicates (OGRGeometry::Intersects/
     Contains/Within/Touches -> GEOS, ogrgeometry.cpp) derived from the
@@ -2843,6 +2882,7 @@ _QUERIES = {
         "geom_buffer_poly": q_geom_buffer_poly,
         "contour_polys": q_contour_polys,
         "zone_predicates": q_zone_predicates,
+        "geom_boolean": q_geom_boolean,
         "geodesic": q_geodesic,
         "simplify_coverage": q_simplify_coverage,
         "cascaded_union": q_cascaded_union,
@@ -3217,6 +3257,27 @@ def oracle_sql() -> dict[str, str]:
         # = 16*0.25*sin(pi/16); L-shape: 5 quarter fans, one right-angle
         # reflex corner overlaps its two edge strips in an r x r square;
         # hole 4x4 shrinks to (4-2r)^2 = 9
+        "geom_boolean": """
+            SELECT * FROM (VALUES
+              (1, 'difference',    1, 1, 12.0),
+              (1, 'intersection',  1, 1, 4.0),
+              (1, 'symdifference', 2, 2, 24.0),
+              (1, 'union',         1, 1, 28.0),
+              (2, 'difference',    1, 2, 32.0),
+              (2, 'intersection',  1, 1, 4.0),
+              (2, 'symdifference', 1, 2, 32.0),
+              (2, 'union',         1, 1, 36.0),
+              (3, 'difference',    1, 1, 4.0),
+              (3, 'intersection',  0, 0, 0.0),
+              (3, 'symdifference', 2, 2, 8.0),
+              (3, 'union',         2, 2, 8.0),
+              (4, 'difference',    0, 0, 0.0),
+              (4, 'intersection',  1, 1, 9.0),
+              (4, 'symdifference', 0, 0, 0.0),
+              (4, 'union',         1, 1, 9.0)
+            ) AS t(gid, op, n_polys, n_rings, area)
+            ORDER BY gid, op
+        """,
         "zone_predicates": """
             SELECT * FROM (VALUES
               (1, 11, TRUE,  TRUE,  FALSE, FALSE, 4.0),

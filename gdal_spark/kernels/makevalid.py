@@ -272,20 +272,21 @@ def _canon_ring(ring, ccw: bool):
     return pts + [pts[0]]  # closed
 
 
-def _keep_per_cycle(cycles, all_edges, comp_rings, min_area):
+def _keep_per_cycle(cycles, all_edges, comp_rings, min_area, covered=None):
     """For each cycle, is the face it bounds part of the repaired
     interior? (Unbounded face and degenerate cycles -> False.)"""
+    covered = covered or _covered
     keep = []
     for cyc, area in cycles:
         if abs(area) <= min_area:
             keep.append(False)
             continue
         pt = _face_point(cyc, all_edges, positive=area > 0)
-        keep.append(pt is not None and _covered(pt, comp_rings))
+        keep.append(pt is not None and covered(pt, comp_rings))
     return keep
 
 
-def make_valid(components):
+def make_valid(components, covered=None):
     """components: list of polygon components, each a list of rings, each
     ring a sequence of (x, y). Returns a list of valid polygons
     [[outer, hole, ...], ...] with closed canonical rings; empty list if
@@ -298,6 +299,7 @@ def make_valid(components):
     coincident-edge pieces); (2) re-extract faces of the filtered edge
     set — positive cycles are outer rings, negative ones holes of the
     smallest kept cycle containing them."""
+    covered = covered or _covered
     edges, comp_rings = _node_segments(components)
     if not edges:
         return []
@@ -305,7 +307,7 @@ def make_valid(components):
     all_edges = edges
 
     cycles = _faces(edges)
-    keep = _keep_per_cycle(cycles, all_edges, comp_rings, min_area)
+    keep = _keep_per_cycle(cycles, all_edges, comp_rings, min_area, covered)
     side = {}  # directed half-edge -> keep of its face
     for (cyc, _area), k in zip(cycles, keep):
         for i in range(len(cyc)):
@@ -329,7 +331,7 @@ def make_valid(components):
     kept = [
         (cyc, area, [])
         for (cyc, area), k in zip(
-            pos, _keep_per_cycle(pos, all_edges, comp_rings, min_area)
+            pos, _keep_per_cycle(pos, all_edges, comp_rings, min_area, covered)
         )
         if k
     ]
@@ -338,7 +340,7 @@ def make_valid(components):
         # a hole's bordering face is interior (kept); the unbounded
         # face's cycle has no bordering interior and is dropped
         pt = _face_point(cyc, all_edges, positive=False)
-        if pt is None or not _covered(pt, comp_rings):
+        if pt is None or not covered(pt, comp_rings):
             continue
         rp = _rep_point_inside(cyc)
         for owner in kept:
@@ -363,3 +365,37 @@ def _rep_point_inside(cyc):
     own = [(cyc[i], cyc[(i + 1) % len(cyc)]) for i in range(len(cyc))]
     xs = sorted(_crossings(own, ym))
     return ((xs[0] + xs[1]) / 2.0, ym)
+
+
+def _parity(pt, rings):
+    parity = False
+    for r in rings:
+        if _in_ring(pt, r):
+            parity = not parity
+    return parity
+
+
+def boolean_op(polys_a, polys_b, op: str):
+    """Per-row geometric set operation between two (multi)polygons on
+    the same noded arrangement (OGRGeometry::Intersection :4895, Union
+    :5014, Difference :5333, SymDifference :5453 -> GEOS overlay): a
+    face of the joint arrangement is kept per the boolean rule over
+    "covered by any A component" / "covered by any B component"
+    (even-odd within a component, matching MakeValid's rule). Returns
+    valid polygons [[outer, hole, ...], ...]."""
+    rules = {
+        "intersection": lambda a, b: a and b,
+        "union": lambda a, b: a or b,
+        "difference": lambda a, b: a and not b,
+        "symdifference": lambda a, b: a != b,
+    }
+    rule = rules[op]
+    comps = [list(rings) for rings in polys_a] + [list(rings) for rings in polys_b]
+    na = len(polys_a)
+
+    def covered(pt, comp_rings):
+        a = any(_parity(pt, rings) for rings in comp_rings[:na])
+        b = any(_parity(pt, rings) for rings in comp_rings[na:])
+        return rule(a, b)
+
+    return make_valid(comps, covered=covered)

@@ -94,6 +94,34 @@ def make_valid_wkb(geom: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def geom_boolean_wkb(op: str):
+    """pandas_udf factory: per-row geometric set op between two
+    (multi)polygon WKB columns — Intersection/Union/Difference/
+    SymDifference (ogrgeometry.cpp:4895/5014/5333/5453 -> GEOS overlay)
+    on the shared noded arrangement (kernels/makevalid.boolean_op).
+    Rows independent: one Arrow pass, no shuffle."""
+
+    @F.pandas_udf(BinaryType())
+    def _f(ga: pd.Series, gb: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(ga, gb):
+            if x is None or y is None:
+                out.append(None)
+                continue
+            polys = MV.boolean_op(
+                W.decode_polygons(bytes(x)), W.decode_polygons(bytes(y)), op
+            )
+            if not polys:
+                out.append(None)
+            elif len(polys) == 1:
+                out.append(W.polygon_wkb(polys[0]))
+            else:
+                out.append(W.multipolygon_wkb(polys))
+        return pd.Series(out)
+
+    return _f
+
+
 @F.pandas_udf(BooleanType())
 def boundaries_touch_wkb(ga: pd.Series, gb: pd.Series) -> pd.Series:
     """Exact boundary-contact test between two (multi)polygon WKB
