@@ -238,3 +238,113 @@ def clip_rect(zones: DataFrame, minx, miny, maxx, maxy) -> DataFrame:
     return zones.select("zone_id", "geometry").mapInPandas(
         refine, "zone_id long, area double, wkb binary"
     )
+
+
+def overlay_erase(a: DataFrame, b: DataFrame, cell: float = 1.0) -> DataFrame:
+    """Zone x zone layer-algebra Erase
+    (/root/reference/ogr/ogrlayer.cpp:5806): each feature of `a` minus
+    the union of every intersecting feature of `b`; features whose
+    geometry survives are emitted with the erased WKB and its area,
+    features the erase empties are dropped (reference skips them).
+
+    Phase 1 reuses the Intersection candidate discipline: both layers
+    explode to `cell`-keyed envelope covers and equi-join on the cell id
+    (canonical-first-cell dedup; no all-pairs product at scale). Phase 2
+    groups candidates per a-feature and runs ONE arrangement pass
+    (kernels/makevalid.boolean_op difference vs all covering b
+    components at once — multiple overlapping erasers union implicitly
+    under covered-by-ANY). Features with no candidate pass through via
+    an anti-join, untouched."""
+    from ..kernels import makevalid as MV
+    from .pip_join import _zone_envelopes
+
+    def cells(df, prefix):
+        e = _zone_envelopes(df)
+        return (
+            e.withColumn(
+                "cx",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("minx") / cell).cast("long"),
+                        F.floor(F.col("maxx") / cell).cast("long"),
+                    )
+                ),
+            )
+            .withColumn(
+                "cy",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("miny") / cell).cast("long"),
+                        F.floor(F.col("maxy") / cell).cast("long"),
+                    )
+                ),
+            )
+            .select(
+                F.col("zone_id").alias(f"{prefix}_id"),
+                F.col("geometry").alias(f"{prefix}_geom"),
+                F.col("minx").alias(f"{prefix}_minx"),
+                F.col("miny").alias(f"{prefix}_miny"),
+                F.col("maxx").alias(f"{prefix}_maxx"),
+                F.col("maxy").alias(f"{prefix}_maxy"),
+                "cx",
+                "cy",
+            )
+        )
+
+    cand = (
+        cells(a, "a")
+        .join(cells(b, "b"), ["cx", "cy"])
+        .filter(
+            (F.col("a_minx") <= F.col("b_maxx"))
+            & (F.col("b_minx") <= F.col("a_maxx"))
+            & (F.col("a_miny") <= F.col("b_maxy"))
+            & (F.col("b_miny") <= F.col("a_maxy"))
+            & (
+                F.col("cx")
+                == F.floor(F.greatest("a_minx", "b_minx") / cell).cast("long")
+            )
+            & (
+                F.col("cy")
+                == F.floor(F.greatest("a_miny", "b_miny") / cell).cast("long")
+            )
+        )
+        .select("a_id", "a_geom", "b_geom")
+    )
+
+    def erase_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        aid = pdf["a_id"].iloc[0]
+        apolys = W.decode_polygons(bytes(pdf["a_geom"].iloc[0]))
+        bpolys = []
+        for bg in pdf["b_geom"]:
+            bpolys.extend(W.decode_polygons(bytes(bg)))
+        out = MV.boolean_op(apolys, bpolys, "difference")
+        if not out:
+            return pd.DataFrame(
+                {"zone_id": [], "area": [], "geometry": []}
+            ).astype({"zone_id": "int64"})
+        area = 0.0
+        for rings in out:
+            for r in rings:
+                s = 0.0
+                for (x1, y1), (x2, y2) in zip(r, r[1:]):
+                    s += x1 * y2 - x2 * y1
+                area += s / 2.0
+        wkb_out = (
+            W.polygon_wkb(out[0]) if len(out) == 1 else W.multipolygon_wkb(out)
+        )
+        return pd.DataFrame(
+            {"zone_id": [aid], "area": [area], "geometry": [wkb_out]}
+        )
+
+    erased = cand.groupBy("a_id").applyInPandas(
+        erase_group, "zone_id long, area double, geometry binary"
+    )
+    untouched = (
+        a.join(
+            cand.select(F.col("a_id").alias("zone_id")).distinct(),
+            ["zone_id"],
+            "left_anti",
+        )
+        .select("zone_id", "area", "geometry")
+    )
+    return erased.unionByName(untouched)
