@@ -2300,6 +2300,53 @@ def q_overlay_erase(spark, sf_dir):
     ).orderBy("zone_id")
 
 
+def q_overlay_union(spark, sf_dir):
+    """Layer-algebra Union (ogrlayer.cpp:3763) = pairwise intersection
+    pieces + A-erased + B-erased, fields from the contributing side(s).
+    Same fixture as overlay_erase; B12-minus-A exercises the b-side
+    erase (36-4=32 L-shape), fully-covered B11 is dropped."""
+    from gdal_spark.kernels import wkb as W
+    from gdal_spark.operators.geom import wkb_stats_udf
+    from gdal_spark.operators.overlay import overlay_union
+    from gdal_spark.session import local_df
+
+    def rect(zid, x0, y0, x1, y1):
+        return (
+            zid, f"z{zid}", float((x1 - x0) * (y1 - y0)),
+            W.polygon_wkb(
+                [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]]
+            ),
+        )
+
+    schema = "zone_id long, name string, area double, geometry binary"
+    a = local_df(
+        spark,
+        [rect(1, 0, 0, 10, 10), rect(2, 20, 0, 26, 6), rect(3, 40, 0, 44, 4)],
+        schema,
+    )
+    b = local_df(
+        spark,
+        [rect(11, 2, 2, 6, 6), rect(12, 4, 4, 8, 8), rect(13, 24, 4, 30, 10)],
+        schema,
+    )
+    out = overlay_union(a, b, cell=16.0)
+    st = wkb_stats_udf()
+    return out.select(
+        F.col("zone_a").cast("int").alias("zone_a"),
+        F.col("zone_b").cast("int").alias("zone_b"),
+        st(F.col("geometry")).alias("s"),
+        "area",
+    ).select(
+        "zone_a", "zone_b",
+        F.col("s.n_polys").alias("n_polys"),
+        F.col("s.n_rings").alias("n_rings"),
+        F.round("area", 9).alias("area"),
+    ).orderBy(
+        F.coalesce(F.col("zone_a"), F.lit(-1)),
+        F.coalesce(F.col("zone_b"), F.lit(-1)),
+    )
+
+
 def q_geom_boolean(spark, sf_dir):
     """Per-row geometric set ops Difference / SymDifference / Union /
     Intersection (ogrgeometry.cpp:4895-5453 -> GEOS overlay) on the
@@ -2926,6 +2973,7 @@ _QUERIES = {
         "zone_predicates": q_zone_predicates,
         "geom_boolean": q_geom_boolean,
         "overlay_erase": q_overlay_erase,
+        "overlay_union": q_overlay_union,
         "geodesic": q_geodesic,
         "simplify_coverage": q_simplify_coverage,
         "cascaded_union": q_cascaded_union,
@@ -3300,6 +3348,18 @@ def oracle_sql() -> dict[str, str]:
         # = 16*0.25*sin(pi/16); L-shape: 5 quarter fans, one right-angle
         # reflex corner overlaps its two edge strips in an r x r square;
         # hole 4x4 shrinks to (4-2r)^2 = 9
+        "overlay_union": """
+            SELECT * FROM (VALUES
+              (CAST(NULL AS INTEGER), 13, 1, 1, 32.0),
+              (1, CAST(NULL AS INTEGER), 1, 2, 72.0),
+              (1, 11, 1, 1, 16.0),
+              (1, 12, 1, 1, 16.0),
+              (2, NULL, 1, 1, 32.0),
+              (2, 13, 1, 1, 4.0),
+              (3, NULL, 1, 1, 16.0)
+            ) AS t(zone_a, zone_b, n_polys, n_rings, area)
+            ORDER BY COALESCE(zone_a, -1), COALESCE(zone_b, -1)
+        """,
         "overlay_erase": """
             SELECT * FROM (VALUES
               (1, 1, 2, 72.0),

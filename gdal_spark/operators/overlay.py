@@ -348,3 +348,30 @@ def overlay_erase(a: DataFrame, b: DataFrame, cell: float = 1.0) -> DataFrame:
         .select("zone_id", "area", "geometry")
     )
     return erased.unionByName(untouched)
+
+
+def overlay_union(a: DataFrame, b: DataFrame, cell: float = 1.0) -> DataFrame:
+    """Zone x zone layer-algebra Union
+    (/root/reference/ogr/ogrlayer.cpp:3763): the reference's nested loop
+    emits (1) each pairwise a∩b piece, (2) each a-feature minus all of
+    b, (3) each b-feature minus all of a — fields populated from
+    whichever side(s) contributed. Composed here from the two primitives
+    that already own the candidate discipline: overlay_intersection
+    (keep_wkb) and overlay_erase both ways. Output: (zone_a NULLable,
+    zone_b NULLable, area, geometry)."""
+    inter = overlay_intersection(a, b, cell=cell, keep_wkb=True).select(
+        "zone_a", "zone_b", "area", F.col("wkb").alias("geometry")
+    )
+    ea = overlay_erase(a, b, cell=cell).select(
+        F.col("zone_id").alias("zone_a"),
+        F.lit(None).cast("long").alias("zone_b"),
+        "area",
+        "geometry",
+    )
+    eb = overlay_erase(b, a, cell=cell).select(
+        F.lit(None).cast("long").alias("zone_a"),
+        F.col("zone_id").alias("zone_b"),
+        "area",
+        "geometry",
+    )
+    return inter.unionByName(ea).unionByName(eb)
