@@ -2347,6 +2347,48 @@ def q_overlay_union(spark, sf_dir):
     )
 
 
+def q_overlay_clip(spark, sf_dir):
+    """Layer-algebra Clip (ogrlayer.cpp:5497): A clipped to the union of
+    the method layer. A1 keeps the eraser-union octagon (28), A2 keeps
+    its 2x2 corner, A3 is outside the method layer and is dropped."""
+    from gdal_spark.kernels import wkb as W
+    from gdal_spark.operators.geom import wkb_stats_udf
+    from gdal_spark.operators.overlay import overlay_clip
+    from gdal_spark.session import local_df
+
+    def rect(zid, x0, y0, x1, y1):
+        return (
+            zid, f"z{zid}", float((x1 - x0) * (y1 - y0)),
+            W.polygon_wkb(
+                [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]]
+            ),
+        )
+
+    schema = "zone_id long, name string, area double, geometry binary"
+    a = local_df(
+        spark,
+        [rect(1, 0, 0, 10, 10), rect(2, 20, 0, 26, 6), rect(3, 40, 0, 44, 4)],
+        schema,
+    )
+    b = local_df(
+        spark,
+        [rect(11, 2, 2, 6, 6), rect(12, 4, 4, 8, 8), rect(13, 24, 4, 30, 10)],
+        schema,
+    )
+    out = overlay_clip(a, b, cell=16.0)
+    st = wkb_stats_udf()
+    return out.select(
+        F.col("zone_id").cast("int").alias("zone_id"),
+        st(F.col("geometry")).alias("s"),
+        "area",
+    ).select(
+        "zone_id",
+        F.col("s.n_polys").alias("n_polys"),
+        F.col("s.n_rings").alias("n_rings"),
+        F.round("area", 9).alias("area"),
+    ).orderBy("zone_id")
+
+
 def q_geom_boolean(spark, sf_dir):
     """Per-row geometric set ops Difference / SymDifference / Union /
     Intersection (ogrgeometry.cpp:4895-5453 -> GEOS overlay) on the
@@ -2974,6 +3016,7 @@ _QUERIES = {
         "geom_boolean": q_geom_boolean,
         "overlay_erase": q_overlay_erase,
         "overlay_union": q_overlay_union,
+        "overlay_clip": q_overlay_clip,
         "geodesic": q_geodesic,
         "simplify_coverage": q_simplify_coverage,
         "cascaded_union": q_cascaded_union,
@@ -3348,6 +3391,13 @@ def oracle_sql() -> dict[str, str]:
         # = 16*0.25*sin(pi/16); L-shape: 5 quarter fans, one right-angle
         # reflex corner overlaps its two edge strips in an r x r square;
         # hole 4x4 shrinks to (4-2r)^2 = 9
+        "overlay_clip": """
+            SELECT * FROM (VALUES
+              (1, 1, 1, 28.0),
+              (2, 1, 1, 4.0)
+            ) AS t(zone_id, n_polys, n_rings, area)
+            ORDER BY zone_id
+        """,
         "overlay_union": """
             SELECT * FROM (VALUES
               (CAST(NULL AS INTEGER), 13, 1, 1, 32.0),

@@ -255,6 +255,25 @@ def overlay_erase(a: DataFrame, b: DataFrame, cell: float = 1.0) -> DataFrame:
     components at once — multiple overlapping erasers union implicitly
     under covered-by-ANY). Features with no candidate pass through via
     an anti-join, untouched."""
+    return _overlay_per_feature(a, b, cell, "difference", passthrough=True)
+
+
+def overlay_clip(a: DataFrame, b: DataFrame, cell: float = 1.0) -> DataFrame:
+    """Zone x zone layer-algebra Clip (ogrlayer.cpp:5497): each feature
+    of `a` intersected with the union of the method layer `b`; features
+    entirely outside `b` are dropped (no passthrough). Same grouped
+    single-arrangement plan as Erase with the intersection rule.
+
+    The remaining layer ops are compositions of these primitives
+    (matching the reference's nested-loop outputs): SymDifference :4300
+    = erase(a,b) + erase(b,a); Identity :4730 = intersection(a,b) +
+    erase(a,b); Update :5148 = erase(a,b) + b."""
+    return _overlay_per_feature(a, b, cell, "intersection", passthrough=False)
+
+
+def _overlay_per_feature(
+    a: DataFrame, b: DataFrame, cell: float, op: str, passthrough: bool
+) -> DataFrame:
     from ..kernels import makevalid as MV
     from .pip_join import _zone_envelopes
 
@@ -311,13 +330,13 @@ def overlay_erase(a: DataFrame, b: DataFrame, cell: float = 1.0) -> DataFrame:
         .select("a_id", "a_geom", "b_geom")
     )
 
-    def erase_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def op_group(pdf: pd.DataFrame) -> pd.DataFrame:
         aid = pdf["a_id"].iloc[0]
         apolys = W.decode_polygons(bytes(pdf["a_geom"].iloc[0]))
         bpolys = []
         for bg in pdf["b_geom"]:
             bpolys.extend(W.decode_polygons(bytes(bg)))
-        out = MV.boolean_op(apolys, bpolys, "difference")
+        out = MV.boolean_op(apolys, bpolys, op)
         if not out:
             return pd.DataFrame(
                 {"zone_id": [], "area": [], "geometry": []}
@@ -336,9 +355,11 @@ def overlay_erase(a: DataFrame, b: DataFrame, cell: float = 1.0) -> DataFrame:
             {"zone_id": [aid], "area": [area], "geometry": [wkb_out]}
         )
 
-    erased = cand.groupBy("a_id").applyInPandas(
-        erase_group, "zone_id long, area double, geometry binary"
+    pieces = cand.groupBy("a_id").applyInPandas(
+        op_group, "zone_id long, area double, geometry binary"
     )
+    if not passthrough:
+        return pieces
     untouched = (
         a.join(
             cand.select(F.col("a_id").alias("zone_id")).distinct(),
@@ -347,7 +368,7 @@ def overlay_erase(a: DataFrame, b: DataFrame, cell: float = 1.0) -> DataFrame:
         )
         .select("zone_id", "area", "geometry")
     )
-    return erased.unionByName(untouched)
+    return pieces.unionByName(untouched)
 
 
 def overlay_union(a: DataFrame, b: DataFrame, cell: float = 1.0) -> DataFrame:
