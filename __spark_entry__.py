@@ -2389,6 +2389,103 @@ def q_overlay_clip(spark, sf_dir):
     ).orderBy("zone_id")
 
 
+def _overlay_fixture_layers(spark):
+    from gdal_spark.kernels import wkb as W
+    from gdal_spark.session import local_df
+
+    def rect(zid, x0, y0, x1, y1):
+        return (
+            zid, f"z{zid}", float((x1 - x0) * (y1 - y0)),
+            W.polygon_wkb(
+                [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]]
+            ),
+        )
+
+    schema = "zone_id long, name string, area double, geometry binary"
+    a = local_df(
+        spark,
+        [rect(1, 0, 0, 10, 10), rect(2, 20, 0, 26, 6), rect(3, 40, 0, 44, 4)],
+        schema,
+    )
+    b = local_df(
+        spark,
+        [rect(11, 2, 2, 6, 6), rect(12, 4, 4, 8, 8), rect(13, 24, 4, 30, 10)],
+        schema,
+    )
+    return a, b
+
+
+def _overlay_stats(out):
+    from gdal_spark.operators.geom import wkb_stats_udf
+
+    st = wkb_stats_udf()
+    return out.select(
+        F.col("zone_a").cast("int").alias("zone_a"),
+        F.col("zone_b").cast("int").alias("zone_b"),
+        st(F.col("geometry")).alias("s"),
+        "area",
+    ).select(
+        "zone_a", "zone_b",
+        F.col("s.n_polys").alias("n_polys"),
+        F.col("s.n_rings").alias("n_rings"),
+        F.round("area", 9).alias("area"),
+    ).orderBy(
+        F.coalesce(F.col("zone_a"), F.lit(-1)),
+        F.coalesce(F.col("zone_b"), F.lit(-1)),
+    )
+
+
+def q_overlay_symdiff(spark, sf_dir):
+    """Layer-algebra SymDifference (ogrlayer.cpp:4300) = erase(a,b) +
+    erase(b,a), side provenance NULLable (reference nested-loop
+    output)."""
+    from gdal_spark.operators.overlay import overlay_erase
+
+    a, b = _overlay_fixture_layers(spark)
+    ea = overlay_erase(a, b, cell=16.0).select(
+        F.col("zone_id").alias("zone_a"),
+        F.lit(None).cast("long").alias("zone_b"), "area", "geometry",
+    )
+    eb = overlay_erase(b, a, cell=16.0).select(
+        F.lit(None).cast("long").alias("zone_a"),
+        F.col("zone_id").alias("zone_b"), "area", "geometry",
+    )
+    return _overlay_stats(ea.unionByName(eb))
+
+
+def q_overlay_identity(spark, sf_dir):
+    """Layer-algebra Identity (ogrlayer.cpp:4730) = pairwise a∩b pieces
+    + a-minus-b remainders (a's features partitioned by b)."""
+    from gdal_spark.operators.overlay import overlay_erase, overlay_intersection
+
+    a, b = _overlay_fixture_layers(spark)
+    inter = overlay_intersection(a, b, cell=16.0, keep_wkb=True).select(
+        "zone_a", "zone_b", "area", F.col("wkb").alias("geometry")
+    )
+    ea = overlay_erase(a, b, cell=16.0).select(
+        F.col("zone_id").alias("zone_a"),
+        F.lit(None).cast("long").alias("zone_b"), "area", "geometry",
+    )
+    return _overlay_stats(inter.unionByName(ea))
+
+
+def q_overlay_update(spark, sf_dir):
+    """Layer-algebra Update (ogrlayer.cpp:5148) = a eroded by b, then b
+    appended whole (b overwrites a where they overlap)."""
+    from gdal_spark.operators.overlay import overlay_erase
+
+    a, b = _overlay_fixture_layers(spark)
+    ea = overlay_erase(a, b, cell=16.0).select(
+        F.col("zone_id").alias("zone_a"),
+        F.lit(None).cast("long").alias("zone_b"), "area", "geometry",
+    )
+    bb = b.select(
+        F.lit(None).cast("long").alias("zone_a"),
+        F.col("zone_id").alias("zone_b"), "area", "geometry",
+    )
+    return _overlay_stats(ea.unionByName(bb))
+
+
 def q_geom_boolean(spark, sf_dir):
     """Per-row geometric set ops Difference / SymDifference / Union /
     Intersection (ogrgeometry.cpp:4895-5453 -> GEOS overlay) on the
@@ -3017,6 +3114,9 @@ _QUERIES = {
         "overlay_erase": q_overlay_erase,
         "overlay_union": q_overlay_union,
         "overlay_clip": q_overlay_clip,
+        "overlay_symdiff": q_overlay_symdiff,
+        "overlay_identity": q_overlay_identity,
+        "overlay_update": q_overlay_update,
         "geodesic": q_geodesic,
         "simplify_coverage": q_simplify_coverage,
         "cascaded_union": q_cascaded_union,
@@ -3391,6 +3491,37 @@ def oracle_sql() -> dict[str, str]:
         # = 16*0.25*sin(pi/16); L-shape: 5 quarter fans, one right-angle
         # reflex corner overlaps its two edge strips in an r x r square;
         # hole 4x4 shrinks to (4-2r)^2 = 9
+        "overlay_symdiff": """
+            SELECT * FROM (VALUES
+              (CAST(NULL AS INTEGER), 13, 1, 1, 32.0),
+              (1, CAST(NULL AS INTEGER), 1, 2, 72.0),
+              (2, NULL, 1, 1, 32.0),
+              (3, NULL, 1, 1, 16.0)
+            ) AS t(zone_a, zone_b, n_polys, n_rings, area)
+            ORDER BY COALESCE(zone_a, -1), COALESCE(zone_b, -1)
+        """,
+        "overlay_identity": """
+            SELECT * FROM (VALUES
+              (1, CAST(NULL AS INTEGER), 1, 2, 72.0),
+              (1, 11, 1, 1, 16.0),
+              (1, 12, 1, 1, 16.0),
+              (2, CAST(NULL AS INTEGER), 1, 1, 32.0),
+              (2, 13, 1, 1, 4.0),
+              (3, NULL, 1, 1, 16.0)
+            ) AS t(zone_a, zone_b, n_polys, n_rings, area)
+            ORDER BY COALESCE(zone_a, -1), COALESCE(zone_b, -1)
+        """,
+        "overlay_update": """
+            SELECT * FROM (VALUES
+              (CAST(NULL AS INTEGER), 11, 1, 1, 16.0),
+              (NULL, 12, 1, 1, 16.0),
+              (NULL, 13, 1, 1, 36.0),
+              (1, CAST(NULL AS INTEGER), 1, 2, 72.0),
+              (2, NULL, 1, 1, 32.0),
+              (3, NULL, 1, 1, 16.0)
+            ) AS t(zone_a, zone_b, n_polys, n_rings, area)
+            ORDER BY COALESCE(zone_a, -1), COALESCE(zone_b, -1)
+        """,
         "overlay_clip": """
             SELECT * FROM (VALUES
               (1, 1, 1, 28.0),
