@@ -98,12 +98,44 @@ def _shingles_duck(text_col: str) -> str:
     )
 
 
-def _sig_expr(shingles: str, j: int) -> str:
-    return f"array_min(transform({shingles}, s -> md5(concat('{j}:', s))))"
+# MinHash family: ONE md5 per distinct shingle (first 8 hex chars ->
+# 32-bit int h), then NUM_HASHES cheap universal hashes
+# sig_j = min((A_j*h + B_j) mod P) — vs md5-per-seed this cuts the md5
+# volume NUM_HASHES-fold on the corpus scan (measured dominant cost).
+# A_j < 2^31 and h < 2^32 keep A*h inside signed-64 on both engines.
+MINHASH_P = (1 << 61) - 1
+_HEXMAP16 = "'0123456789abcdef'"
 
 
-def _sig_duck(shingles: str, j: int) -> str:
-    return f"list_min(list_transform({shingles}, s -> md5(concat('{j}:', s))))"
+def _mh_ab(j: int) -> tuple:
+    return 1103515245 + 2 * j, 12345 + 40503 * j
+
+
+def _shingle_hash_expr(shingles: str) -> str:
+    """Spark: array<bigint> of 32-bit md5-prefix hashes, one md5 per
+    distinct shingle."""
+    return (
+        f"transform({shingles}, "
+        f"s -> CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT))"
+    )
+
+
+def _shingle_hash_duck(shingles: str) -> str:
+    terms = " + ".join(
+        f"(strpos({_HEXMAP16}, substr(md5(s), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"list_transform({shingles}, s -> CAST({terms} AS BIGINT))"
+
+
+def _sig_expr(hashed: str, j: int) -> str:
+    a, b = _mh_ab(j)
+    return f"array_min(transform({hashed}, h -> (h * {a} + {b}) % {MINHASH_P}))"
+
+
+def _sig_duck(hashed: str, j: int) -> str:
+    a, b = _mh_ab(j)
+    return f"list_min(list_transform({hashed}, h -> (h * {a} + {b}) % {MINHASH_P}))"
 
 
 def minhash_signatures(corpus: DataFrame, text_col: str = "text") -> DataFrame:
@@ -112,12 +144,16 @@ def minhash_signatures(corpus: DataFrame, text_col: str = "text") -> DataFrame:
     sh = _shingles_expr(text_col)
     df = corpus.filter(F.expr(f"size(split({text_col}, ' ')) >= {SHINGLE}")).withColumn(
         "shingles", F.expr(sh)
-    )
-    sigs = [_sig_expr("shingles", j) for j in range(NUM_HASHES)]
+    ).withColumn("sh_h", F.expr(_shingle_hash_expr("shingles")))
+    sigs = [
+        f"CAST({_sig_expr('sh_h', j)} AS STRING)" for j in range(NUM_HASHES)
+    ]
     for b in range(NUM_HASHES // BAND_ROWS):
         chunk = sigs[b * BAND_ROWS : (b + 1) * BAND_ROWS]
-        df = df.withColumn(f"band_{b}", F.expr(f"md5(concat({', '.join(chunk)}))"))
-    return df
+        df = df.withColumn(
+            f"band_{b}", F.expr(f"md5(concat_ws(':', {', '.join(chunk)}))")
+        )
+    return df.drop("sh_h")
 
 
 def lsh_pairs(
@@ -184,15 +220,23 @@ def lsh_pairs_sql(rel: str = "corpus", text_col: str = "text") -> str:
     sh = _shingles_duck(text_col)
     band_rows = []
     for b in range(nb):
-        chunk = [_sig_duck("shingles", j) for j in range(b * BAND_ROWS, (b + 1) * BAND_ROWS)]
+        chunk = [
+            f"CAST({_sig_duck('sh_h', j)} AS VARCHAR)"
+            for j in range(b * BAND_ROWS, (b + 1) * BAND_ROWS)
+        ]
+        joined = ", ':', ".join(chunk)
         band_rows.append(
-            f"SELECT doc_id, shingles, {b} AS band_id, md5(concat({', '.join(chunk)})) AS bh FROM sh"
+            f"SELECT doc_id, shingles, {b} AS band_id, md5(concat({joined})) AS bh FROM sh"
         )
     bands = " UNION ALL ".join(band_rows)
     return f"""
-      , sh AS (
+      , sh0 AS (
           SELECT doc_id, {sh} AS shingles FROM {rel}
           WHERE len(str_split({text_col}, ' ')) >= {SHINGLE}
+      ), sh AS (
+          SELECT doc_id, shingles,
+                 {_shingle_hash_duck("shingles")} AS sh_h
+          FROM sh0
       ), bands AS ({bands}),
       cand AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
