@@ -83,3 +83,18 @@ def test_stack_keys_and_payloads(spark):
     assert len(st) == 1
     assert np.asarray(st[0]["block_1"]).sum() == 16.0
     assert np.asarray(st[0]["block_2"]).sum() == 32.0
+
+
+def test_pack_unpack_roundtrip_dtypes(spark):
+    """pack_blocks at every transport dtype -> unpack_blocks returns the
+    original float64 values (u1/i2 inputs are integral by construction)."""
+    import numpy as np
+
+    from gdal_spark.operators import raster as R
+
+    arr = (np.arange(48.0 * 32.0).reshape(48, 32) % 200.0)
+    blocks, meta = R.raster_from_array(spark, arr, (0, 1, 0, 0, 0, 1), "x", block=16)
+    for dtype in ("<f8", "<f4", "<i2", "u1"):
+        packed = R.pack_blocks(blocks, dtype=dtype)
+        back = R.raster_to_array(R.unpack_blocks(packed), meta)
+        assert np.array_equal(back, arr), dtype
