@@ -48,3 +48,42 @@ def test_inclusion_exclusion(ra, rb):
     assert abs((inter + union) - (a_area + b_area)) < 1e-9
     assert abs(diff - (a_area - inter)) < 1e-9
     assert abs(sym - (union - inter)) < 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(rect, min_size=1, max_size=3))
+def test_wkb_roundtrip(rs):
+    """encode(decode) is identity for polygon/multipolygon WKB."""
+    import numpy as np
+
+    from gdal_spark.kernels import wkb as W
+
+    geoms = [_rect(*r) for r in rs]
+    buf = (
+        W.polygon_wkb(geoms[0])
+        if len(geoms) == 1
+        else W.multipolygon_wkb(geoms)
+    )
+    back = W.decode_polygons(buf)
+    assert len(back) == len(geoms)
+    for got, want in zip(back, geoms):
+        assert len(got) == len(want)
+        for rg, rw in zip(got, want):
+            assert np.allclose(np.asarray(rg, dtype=float), np.asarray(rw, dtype=float))
+
+
+@settings(max_examples=25, deadline=None)
+@given(rect, st.sampled_from([0.25, 0.5, 1.0]))
+def test_buffer_grows_and_contains(r, rad):
+    """buffer(P, r) strictly grows with r and covers every original
+    vertex with margin (sampled containment via the area identity:
+    P ∩ buffer == P)."""
+    from gdal_spark.kernels.geomops import buffer_polygon
+
+    P = _rect(*r)
+    b1 = buffer_polygon([P], rad)
+    b2 = buffer_polygon([P], rad * 2)
+    assert _area(b2) > _area(b1) > _area([P])
+    # buffered region contains the original: P ∩ buffer == P by area
+    inter = boolean_op([P], b1, "intersection")
+    assert abs(_area(inter) - _area([P])) < 1e-9
