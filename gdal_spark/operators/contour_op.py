@@ -154,38 +154,103 @@ def contour_polygons(blocks: DataFrame, meta: RasterMeta, levels: list[float]) -
             pad[iy0 - y0g : iy1 - y0g, ix0 - x0g : ix1 - x0g] = arr[
                 iy0 - by0 : iy1 - by0, ix0 - bx0 : ix1 - bx0
             ]
-        counts: dict = {}
-        fwd: dict = {}
-        h, w = pad.shape
-        for y in range(h - 1):
-            for x in range(w - 1):
-                zul, zur = pad[y, x], pad[y, x + 1]
-                zll, zlr = pad[y + 1, x], pad[y + 1, x + 1]
-                if np.isnan(zul) or np.isnan(zur) or np.isnan(zll) or np.isnan(zlr):
-                    continue
-                gx, gy = x + x0g + 0.5, y + y0g + 0.5
-                for band, piece in split_square_bands(
-                    zul, zur, zll, zlr, levels, gx, gy
-                ):
-                    pts = [
-                        (round(px, 9), round(py, 9)) for px, py in piece
-                    ]
-                    n = len(pts)
-                    for i in range(n):
-                        a, b = pts[i], pts[(i + 1) % n]
-                        if a == b:
-                            continue
-                        key = (band, a, b) if a <= b else (band, b, a)
-                        counts[key] = counts.get(key, 0) + 1
-                        fwd[key] = a <= b
-        rows = []
-        for key, c in counts.items():
-            if c == 1:
-                band, lo, hi = key
-                a, b = (lo, hi) if fwd[key] else (hi, lo)
-                rows.append((band, a[0], a[1], b[0], b[1]))
+        # square classification, vectorized: a square needs the python
+        # chord cutter ONLY if some level lies within its corner range —
+        # that set is O(contour length x levels), not O(area). Uniform
+        # squares emit their 4 edges in bulk numpy; cancellation of the
+        # combined edge set happens once via np.unique.
+        ul = pad[:-1, :-1]
+        ur = pad[:-1, 1:]
+        ll = pad[1:, :-1]
+        lr = pad[1:, 1:]
+        valid = ~(np.isnan(ul) | np.isnan(ur) | np.isnan(ll) | np.isnan(lr))
+        zmin = np.minimum(np.minimum(ul, ur), np.minimum(ll, lr))
+        zmax = np.maximum(np.maximum(ul, ur), np.maximum(ll, lr))
+        crossing = np.zeros_like(valid)
+        for lv in levels:
+            crossing |= (zmin <= lv) & (lv <= zmax)
+        uniform = valid & ~crossing
+        crossing &= valid
+
+        # uniform squares: band from any corner (all corners same band)
+        uy, ux = np.nonzero(uniform)
+        uband = np.zeros(len(ux), dtype=np.int64)
+        for lv in levels:
+            uband += (ul[uy, ux] > lv).astype(np.int64)
+        gx0 = ux + x0g + 0.5
+        gy0 = uy + y0g + 0.5
+        # 4 CCW edges per square: (x0,y0)->(x1,y0)->(x1,y1)->(x0,y1)->
+        es = []
+        for (ax, ay, bx, by) in (
+            (0.0, 0.0, 1.0, 0.0),
+            (1.0, 0.0, 1.0, 1.0),
+            (1.0, 1.0, 0.0, 1.0),
+            (0.0, 1.0, 0.0, 0.0),
+        ):
+            es.append(
+                np.column_stack(
+                    [uband, gx0 + ax, gy0 + ay, gx0 + bx, gy0 + by]
+                )
+            )
+        bulk = (
+            np.concatenate(es)
+            if es and len(ux)
+            else np.empty((0, 5), dtype=np.float64)
+        )
+
+        rows_py = []
+        for y, x in zip(*np.nonzero(crossing)):
+            gx, gy = x + x0g + 0.5, y + y0g + 0.5
+            for band, piece in split_square_bands(
+                pad[y, x], pad[y, x + 1], pad[y + 1, x], pad[y + 1, x + 1],
+                levels, gx, gy,
+            ):
+                pts = [(round(px, 9), round(py, 9)) for px, py in piece]
+                n = len(pts)
+                for i in range(n):
+                    a, b = pts[i], pts[(i + 1) % n]
+                    if a != b:
+                        rows_py.append((band, a[0], a[1], b[0], b[1]))
+        all_edges = (
+            np.concatenate(
+                [bulk, np.asarray(rows_py, dtype=np.float64).reshape(-1, 5)]
+            )
+            if rows_py
+            else bulk
+        )
+        if len(all_edges) == 0:
+            return _pd.DataFrame(
+                {"band": _pd.Series(dtype="int32"),
+                 "ax": _pd.Series(dtype="float64"),
+                 "ay": _pd.Series(dtype="float64"),
+                 "bx2": _pd.Series(dtype="float64"),
+                 "by2": _pd.Series(dtype="float64")}
+            )
+        # canonicalize (lexicographic endpoint order) + single np.unique
+        # cancellation; count==1 survivors reconstruct their direction
+        a_pts = all_edges[:, 1:3]
+        b_pts = all_edges[:, 3:5]
+        swap = (a_pts[:, 0] > b_pts[:, 0]) | (
+            (a_pts[:, 0] == b_pts[:, 0]) & (a_pts[:, 1] > b_pts[:, 1])
+        )
+        lo = np.where(swap[:, None], b_pts, a_pts)
+        hi = np.where(swap[:, None], a_pts, b_pts)
+        keyed = np.column_stack([all_edges[:, 0], lo, hi, (~swap).astype(np.float64)])
+        uniq, idx, counts_ = np.unique(
+            keyed[:, :5], axis=0, return_index=True, return_counts=True
+        )
+        singles = counts_ == 1
+        sel = keyed[idx[singles]]
+        fwd_m = sel[:, 5] > 0.5
+        ax_ = np.where(fwd_m, sel[:, 1], sel[:, 3])
+        ay_ = np.where(fwd_m, sel[:, 2], sel[:, 4])
+        bx_ = np.where(fwd_m, sel[:, 3], sel[:, 1])
+        by_ = np.where(fwd_m, sel[:, 4], sel[:, 2])
         return _pd.DataFrame(
-            rows, columns=["band", "ax", "ay", "bx2", "by2"]
+            {
+                "band": sel[:, 0].astype(np.int32),
+                "ax": ax_, "ay": ay_, "bx2": bx_, "by2": by_,
+            }
         )
 
     edges = contrib.groupBy("tbx", "tby").applyInPandas(
