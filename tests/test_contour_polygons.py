@@ -95,3 +95,18 @@ def test_block_size_invariance(spark):
         )
         out.append(rows)
     assert out[0] == out[1]
+
+
+def test_large_cone_exact_tiling(spark):
+    """256^2 cone (vectorized uniform-square path dominates): the band
+    polygons tile the center domain exactly — area sum == (n-1)^2 —
+    and every band closes into rings."""
+    n = 256
+    xs = np.arange(n) + 0.5
+    ys = np.arange(n) + 0.5
+    arr = 100.0 - np.sqrt((xs[None, :] - n / 2) ** 2 + (ys[:, None] - n / 2) ** 2) * 0.5
+    blocks, meta = raster_from_array(spark, arr, (0, 1, 0, 0, 0, 1), "x", block=64)
+    rows = contour_polygons(blocks, meta, [60.0, 80.0]).collect()
+    assert len(rows) == 3
+    assert abs(sum(r["area"] for r in rows) - (n - 1) ** 2) < 1e-6
+    assert all(r["n_polys"] >= 1 for r in rows)
