@@ -404,6 +404,54 @@ def _warp_oracle() -> str:
     """
 
 
+CUTLINE = (-117.6901, 33.7551, -117.6699, 33.7699)  # lon/lat rect, off-grid
+
+
+def q_warp_cutline(spark, sf_dir):
+    """gdalwarp -cutline (apps/gdalwarp_lib.cpp cutline mask, no
+    -cblend): warp near, then pixels whose CENTER falls outside the
+    cutline polygon become dst nodata. Mask = the reference-exact
+    ray-cast (kernels/pip) over block pixel centers, no shuffle."""
+    import numpy as np
+
+    from gdal_spark.kernels import wkb as W
+    from gdal_spark.operators import raster as R
+
+    n = WARP_N
+    arr = (
+        1000.0 * np.arange(n, dtype=np.float64)[:, None]
+        + np.arange(n, dtype=np.float64)[None, :]
+    )
+    blocks, src = R.raster_from_array(spark, arr, WARP_SRC_GT, "EPSG:3857", block=32)
+    dst = R.RasterMeta(n, n, WARP_DST_GT, "EPSG:4326", block=32)
+    x0, y0, x1, y1 = CUTLINE
+    cut = W.polygon_wkb(
+        [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]]
+    )
+    out = R.apply_cutline(R.warp(blocks, src, dst, "near"), dst, cut)
+    return out.select(
+        "bx", "by", F.posexplode("block").alias("idx", "val")
+    ).select(
+        (F.col("bx") * 32 + F.col("idx") % 32).alias("gx"),
+        (F.col("by") * 32 + (F.col("idx") / 32).cast("int")).alias("gy"),
+        F.col("val").cast("long").alias("val"),
+    )
+
+
+def _warp_cutline_oracle() -> str:
+    g = WARP_DST_GT
+    x0, y0, x1, y1 = CUTLINE
+    lon = f"({g[0]!r} + (gx + 0.5) * {g[1]!r} + (gy + 0.5) * {g[2]!r})"
+    lat = f"({g[3]!r} + (gx + 0.5) * {g[4]!r} + (gy + 0.5) * {g[5]!r})"
+    return f"""
+      SELECT gx, gy,
+             CASE WHEN {lon} > {x0!r} AND {lon} < {x1!r}
+                   AND {lat} > {y0!r} AND {lat} < {y1!r}
+                  THEN val ELSE 0 END AS val
+      FROM ({_warp_oracle()})
+    """
+
+
 def q_hex_index(spark, sf_dir):
     """Hex cell indexing res 7..10 (JVM column math)."""
     from gdal_spark.functions.cells_sql import with_hex_cells
@@ -2997,7 +3045,7 @@ _R3_NEW = (
     "ann_ivf", "raster_mosaic", "viewshed_row", "raster_unscale",
     "raster_settype", "raster_stack", "pansharpen", "raster_resize",
     "warp_mode", "fill_nodata", "sample_nearest", "sample_bilinear",
-    "grid_linear",
+    "grid_linear", "warp_cutline",
 )
 
 # Queries that already have a green driver-stamped row in CORRECTNESS_r02.
@@ -3066,6 +3114,7 @@ _QUERIES = {
         "overlay_fishnet": q_overlay_fishnet,
         "overlay_intersection": q_overlay_intersection,
         "warp_near": q_warp_near,
+        "warp_cutline": q_warp_cutline,
         "hex_index": q_hex_index,
         "s2_index": q_s2_index,
         "tile_quadkey": q_tile_quadkey,
@@ -3293,6 +3342,7 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "warp_near": _warp_oracle(),
+        "warp_cutline": _warp_cutline_oracle(),
         "hex_index": _with_pages(
             f"""
             SELECT url,

@@ -543,3 +543,50 @@ def raster_checksum(blocks: DataFrame, meta: RasterMeta) -> int:
     so blocks are re-assembled; suitable for golden checks on test-sized
     rasters (the reference's own checksum goldens are 20x20..1024x1024)."""
     return int(_checksum(raster_to_array(blocks, meta)))
+
+
+def apply_cutline(blocks: DataFrame, meta: RasterMeta, cutline_wkb: bytes) -> DataFrame:
+    """gdalwarp -cutline semantics (apps/gdalwarp_lib.cpp cutline ->
+    validity mask, no -cblend): pixels whose CENTER lies outside the
+    cutline (multi)polygon are set to the raster's nodata; everything
+    else passes through. Per-block vectorized ray-cast
+    (kernels/pip.points_in_wkb, the reference-exact rule) over the
+    block's geo pixel centers — embarrassingly parallel, no shuffle,
+    output in the input's block form."""
+    from ..kernels import pip as PIP
+
+    packed = _is_packed(blocks)
+    gt = meta.gt
+    bs = meta.block
+    nodata = float(meta.nodata)
+    cw = bytes(cutline_wkb)
+
+    def mask(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            out = []
+            for bx, by, w, h, blk in zip(
+                pdf["bx"], pdf["by"], pdf["w"], pdf["h"], pdf["block"]
+            ):
+                arr = _block_np(blk, int(h), int(w)).copy()
+                jj, ii = np.meshgrid(
+                    np.arange(int(h)), np.arange(int(w)), indexing="ij"
+                )
+                px = bx * bs + ii + 0.5
+                py = by * bs + jj + 0.5
+                gx = gt[0] + px * gt[1] + py * gt[2]
+                gy = gt[3] + px * gt[4] + py * gt[5]
+                inside = PIP.points_in_wkb(gx.ravel(), gy.ravel(), cw)
+                arr.ravel()[~inside] = nodata
+                out.append(
+                    np.ascontiguousarray(arr, dtype="<f8").tobytes()
+                    if packed
+                    else arr.ravel()
+                )
+            pdf["block"] = out
+            yield pdf
+
+    ddl = "bx int, by int, w int, h int, block " + (
+        "binary" if packed else "array<double>"
+    )
+    return blocks.mapInPandas(mask, ddl)
