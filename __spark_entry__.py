@@ -452,6 +452,50 @@ def _warp_cutline_oracle() -> str:
     """
 
 
+def q_raster_srcwin(spark, sf_dir):
+    """gdal_translate -srcwin sub-window extraction: byte-exact crop via
+    an identity near warp on the shifted geotransform (integer offsets
+    align every sample on a source pixel center)."""
+    import numpy as np
+
+    from gdal_spark.operators import raster as R
+
+    n = WARP_N
+    arr = (
+        1000.0 * np.arange(n, dtype=np.float64)[:, None]
+        + np.arange(n, dtype=np.float64)[None, :]
+    )
+    blocks, src = R.raster_from_array(spark, arr, WARP_SRC_GT, "EPSG:3857", block=32)
+    out, dst = R.raster_srcwin(blocks, src, 10, 6, 40, 24)
+    return out.select(
+        "bx", "by", "w", F.posexplode("block").alias("idx", "val")
+    ).select(
+        (F.col("bx") * 32 + F.col("idx") % F.col("w")).alias("gx"),
+        (F.col("by") * 32 + (F.col("idx") / F.col("w")).cast("int")).alias("gy"),
+        F.col("val").cast("long").alias("val"),
+    )
+
+
+def q_raster_histogram(spark, sf_dir):
+    """GDALRasterBand::GetHistogram exact mode: 16 equal bins over
+    [0, 64000) on the warp fixture ramp (values 1000*row + col)."""
+    import numpy as np
+
+    from gdal_spark.operators import raster as R
+
+    n = WARP_N
+    arr = (
+        1000.0 * np.arange(n, dtype=np.float64)[:, None]
+        + np.arange(n, dtype=np.float64)[None, :]
+    )
+    blocks, src = R.raster_from_array(spark, arr, WARP_SRC_GT, "EPSG:3857", block=32)
+    return (
+        R.raster_histogram(blocks, 0.0, 64000.0, 16)
+        .select("bucket", F.col("n").cast("long").alias("n"))
+        .orderBy("bucket")
+    )
+
+
 def q_hex_index(spark, sf_dir):
     """Hex cell indexing res 7..10 (JVM column math)."""
     from gdal_spark.functions.cells_sql import with_hex_cells
@@ -3045,7 +3089,7 @@ _R3_NEW = (
     "ann_ivf", "raster_mosaic", "viewshed_row", "raster_unscale",
     "raster_settype", "raster_stack", "pansharpen", "raster_resize",
     "warp_mode", "fill_nodata", "sample_nearest", "sample_bilinear",
-    "grid_linear", "warp_cutline",
+    "grid_linear", "warp_cutline", "raster_srcwin", "raster_histogram",
 )
 
 # Queries that already have a green driver-stamped row in CORRECTNESS_r02.
@@ -3115,6 +3159,8 @@ _QUERIES = {
         "overlay_intersection": q_overlay_intersection,
         "warp_near": q_warp_near,
         "warp_cutline": q_warp_cutline,
+        "raster_srcwin": q_raster_srcwin,
+        "raster_histogram": q_raster_histogram,
         "hex_index": q_hex_index,
         "s2_index": q_s2_index,
         "tile_quadkey": q_tile_quadkey,
@@ -3343,6 +3389,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "warp_near": _warp_oracle(),
         "warp_cutline": _warp_cutline_oracle(),
+        "raster_srcwin": """
+            SELECT CAST(x.range AS BIGINT) AS gx, CAST(y.range AS BIGINT) AS gy,
+                   CAST(1000 * (6 + y.range) + (10 + x.range) AS BIGINT) AS val
+            FROM range(0, 40) x, range(0, 24) y
+        """,
+        "raster_histogram": """
+            SELECT CAST(b.range AS INTEGER) AS bucket, CAST(256 AS BIGINT) AS n
+            FROM range(0, 16) b ORDER BY bucket
+        """,
         "hex_index": _with_pages(
             f"""
             SELECT url,

@@ -590,3 +590,50 @@ def apply_cutline(blocks: DataFrame, meta: RasterMeta, cutline_wkb: bytes) -> Da
         "binary" if packed else "array<double>"
     )
     return blocks.mapInPandas(mask, ddl)
+
+
+def raster_srcwin(
+    blocks: DataFrame, meta: RasterMeta, x0: int, y0: int, w: int, h: int
+) -> tuple:
+    """gdal_translate -srcwin: extract a pixel sub-window as a new
+    raster (apps/gdal_translate_lib.cpp srcwin path). Expressed as a
+    near warp with an identity mapping onto the shifted geotransform —
+    integer offsets land every dst sample exactly on a src pixel center,
+    so values are byte-exact copies; the gather plan prunes to only the
+    source blocks the window touches. Returns (blocks, new_meta)."""
+    gt = meta.gt
+    dst_gt = (
+        gt[0] + x0 * gt[1] + y0 * gt[2],
+        gt[1], gt[2],
+        gt[3] + x0 * gt[4] + y0 * gt[5],
+        gt[4], gt[5],
+    )
+    dst = RasterMeta(w, h, dst_gt, meta.crs, meta.block, meta.nodata)
+    return warp(blocks, meta, dst, "near"), dst
+
+
+def raster_histogram(
+    blocks: DataFrame,
+    vmin: float,
+    vmax: float,
+    buckets: int,
+    include_out_of_range: bool = False,
+) -> DataFrame:
+    """GDALRasterBand::GetHistogram (gcore/gdalrasterband.cpp:4133),
+    exact (approx_ok=FALSE): `buckets` equal-width bins over
+    [vmin, vmax); out-of-range pixels are dropped unless
+    include_out_of_range, which clamps them into the end bins. One
+    explode + hash aggregation — a single shuffle whose output is
+    O(buckets)."""
+    width = (vmax - vmin) / buckets
+    v = F.explode("block").alias("v")
+    df = blocks.select(v).select(F.col("v"))
+    idx = F.floor((F.col("v") - F.lit(vmin)) / F.lit(width)).cast("int")
+    if include_out_of_range:
+        b = F.least(F.greatest(idx, F.lit(0)), F.lit(buckets - 1))
+        df = df.select(b.alias("bucket"))
+    else:
+        df = df.filter(
+            (F.col("v") >= vmin) & (F.col("v") < vmax)
+        ).select(idx.alias("bucket"))
+    return df.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
