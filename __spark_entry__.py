@@ -2624,9 +2624,11 @@ def q_zone_predicates(spark, sf_dir):
     kernel: Contains(a,b) iff area(a ∩ b) == area(b) (interior-positive
     fixtures), Within is the transpose, Touches iff boundaries share a
     point while the interiors are disjoint (DE-9IM II=F with a BB/IB/BI
-    hit), Intersects iff positive overlap OR touch. The pair grid
-    left-joins the cell-bucketed overlay so disjoint pairs report false
-    without ever forming an all-pairs product at scale."""
+    hit), Intersects iff positive overlap OR touch. The overlay itself is
+    the cell-bucketed operator (scale path); the crossJoin below only
+    builds the 3x5 fixture's answer grid so disjoint pairs report false —
+    at scale the pair grid would instead come from the overlay's own
+    candidate pairs plus an anti-join for the false rows."""
     from gdal_spark.kernels import wkb as W
     from gdal_spark.operators.geom import boundaries_touch_wkb
     from gdal_spark.operators.overlay import overlay_intersection
@@ -2712,12 +2714,21 @@ def q_overlay_fishnet(spark, sf_dir):
 # polygonize / polygonize_polys / footprint all start from the SAME
 # rasterized zone set, and the first two from the same labeled components
 # — share those intermediates (persisted, keyed per SparkSession) instead
-# of recomputing rasterize+label up to 3x per driver run.
+# of recomputing rasterize+label up to 3x per driver run.  Keyed by the
+# Spark application id, not id(spark): CPython can reuse an id() after a
+# stopped session is collected, which would hand back persisted frames
+# bound to a dead SparkContext (ADVICE r3).
 _POLY_SHARED: dict = {}
 
 
 def _poly_shared(spark):
-    key = id(spark)
+    key = spark.sparkContext.applicationId
+    for stale in [k for k in _POLY_SHARED if k != key]:
+        for df in _POLY_SHARED.pop(stale):
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # owning context already stopped
     got = _POLY_SHARED.get(key)
     if got is None:
         from gdal_spark.operators.polygonize import polygonize
@@ -3076,49 +3087,79 @@ def q_vector_sql(spark, sf_dir):
     )
 
 
-# Queries brand-new this round (no certification history at all) — they
-# take the very front of the registry so the driver's ~50-query window
-# stamps them first; overflow then lands on queries the round-2 judge
-# already hand-verified green via tools/check_oracle (the pass* set).
-_R3_NEW = (
+# Certification ledger rotation.  The driver's correctness gate only
+# stamps the first ~50 registry entries per round, so queries() orders the
+# registry by certification urgency, computed DYNAMICALLY from the
+# CORRECTNESS_r*.json files the driver writes next to this script:
+#   1. never-stamped: no green row in any round so far;
+#   2. changed-since-stamp: a green row exists, but the implementation was
+#      rewritten after it (maintained by hand in _CHANGED_SINCE_STAMP each
+#      round — list every query whose kernel/operator/oracle you touched);
+#   3. the rest, OLDEST stamp first, so stale stamps refresh over rounds.
+# This replaces the round-hardcoded _R3_NEW/_R02_CERTIFIED lists the
+# round-3 judge flagged (VERDICT.md "Next round" #2).
+
+# Round-4 edits: dedup_minhash's kernel+oracle were rewritten in r3 after
+# its r02 stamp (VERDICT What's-wrong #2); the makevalid arrangement
+# kernel's _face_point scanline fix (coincident-boundary hole bug) changes
+# every query routed through make_valid/boolean_op: geom.py, overlay.py,
+# contour_op.py, geomops.py consumers.
+_CHANGED_SINCE_STAMP = frozenset({
+    "dedup_minhash",
+    "geom_boolean", "make_valid", "cascaded_union", "geom_buffer_poly",
     "overlay_intersection", "overlay_erase", "overlay_union",
     "overlay_clip", "overlay_symdiff", "overlay_identity",
-    "overlay_update", "geom_boolean", "zone_predicates",
-    "geom_buffer_poly", "contour_polys", "make_valid", "cascaded_union",
-    "geodesic", "simplify_coverage", "vector_concat", "vector_sql",
-    "ann_ivf", "raster_mosaic", "viewshed_row", "raster_unscale",
-    "raster_settype", "raster_stack", "pansharpen", "raster_resize",
-    "warp_mode", "fill_nodata", "sample_nearest", "sample_bilinear",
-    "grid_linear", "warp_cutline", "raster_srcwin", "raster_histogram",
-)
-
-# Queries that already have a green driver-stamped row in CORRECTNESS_r02.
-# The driver's correctness gate only covers the first ~50 registry entries,
-# so queries() orders not-yet-certified queries FIRST; the union of
-# CORRECTNESS_r02 + CORRECTNESS_r03 then covers the whole registry.
-_R02_CERTIFIED = frozenset({
-    "pip_broadcast", "pip_bucketed", "extract_text", "tile_assign",
-    "tile_counts", "tile_pyramid", "knn_brute", "knn_cells",
-    "pages_summary", "token_stats", "quality", "lang_id", "fingerprint",
-    "dedup_exact", "dedup_minhash", "simhash", "simhash_pairs",
-    "ann_brute", "ann_lsh", "ann_lsh_mp", "ogr_summary", "ogr_distinct",
-    "ogr_first_match_join", "ogr_order_limit", "ogr_like_substr",
-    "ogr_predicates", "ogr_union_all", "ogr_cast_arith",
-    "rasterize_zones", "polygonize", "polygonize_polys", "footprint",
-    "overlay_fishnet", "warp_near", "hex_index", "s2_index",
-    "tile_quadkey", "ogr_hstore", "vector_translate", "set_ops",
-    "rollup", "ogr_join_chain", "hillshade", "slope", "aspect", "tri",
-    "tpi", "roughness", "contour", "warp_bilinear",
+    "overlay_update", "overlay_fishnet", "contour_polys",
+    "zone_predicates",
 })
 
 
+def _stamp_rounds() -> dict:
+    """query name -> latest round with a green driver stamp, parsed from
+    CORRECTNESS_r*.json beside this file.  A row is green when rows and
+    schema match, no error, and the value hash (when the query has an
+    oracle) matches."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    stamps: dict = {}
+    for path in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)", _os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as fh:
+                data = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("err") is None
+                and row.get("hash_match") is not False
+            ):
+                stamps[name] = max(stamps.get(name, 0), rnd)
+    return stamps
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    new = [k for k in _R3_NEW if k in _QUERIES]
-    ordered = new + [
-        k for k in _QUERIES if k not in _R02_CERTIFIED and k not in set(new)
-    ]
-    ordered += [k for k in _QUERIES if k in _R02_CERTIFIED]
-    return {name: _wrap(_QUERIES[name]) for name in ordered}
+    stamps = _stamp_rounds()
+    names = list(_QUERIES)
+    reg_pos = {k: i for i, k in enumerate(names)}
+
+    def _urgency(k):
+        if k not in stamps:
+            return (0, reg_pos[k])  # never stamped — front of the window
+        if k in _CHANGED_SINCE_STAMP:
+            return (1, reg_pos[k])  # code moved after its stamp
+        return (2, stamps[k], reg_pos[k])  # oldest stamp refreshes first
+
+    return {name: _wrap(_QUERIES[name]) for name in sorted(names, key=_urgency)}
 
 
 _QUERIES = {

@@ -253,12 +253,52 @@ def main() -> None:
         "knn": knn,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }
+    # Full detail (all per-query timings + raw reps) goes to a file: the
+    # driver retains only the last ~2000 chars of stdout, and the full
+    # JSON for 112 queries exceeds that, truncating the line and leaving
+    # BENCH_r{N}.json `parsed: null` (rounds 2-3).  The LAST stdout line
+    # is a compact headline guaranteed to fit.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "queries_latest.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    with open(os.path.join(bench_dir, "queries_history.jsonl"), "a") as fh:
+        fh.write(json.dumps(out) + "\n")
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
+    headline = {
+        "metric": "headline-query wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": out["sf"],
+        "cpus": out["cpus"],
+        "n_queries": len(timings),
+        "slowest": slowest,
+        "pipeline": {
+            "pages": pipe["pages"],
+            "pages_per_sec": pipe["pages_per_sec"],
+            "total_sec": pipe["total_sec"],
+        },
+        "warp": {
+            k: v for k, v in warp.items() if k.endswith(("_sec", "_mpix_per_sec"))
+        },
+        "knn": {
+            "cells_sec": knn["knn_cells_sec"],
+            "brute_sec": knn["knn_brute_sec"],
+            "speedup": knn["knn_cells_speedup"],
+        },
+        "detail": "BENCH/queries_latest.json",
+    }
     # emit the JSON on its own clean line: flush both streams first and
     # lead with a newline so a harness that merges stdout/stderr (where
     # progress \r lines may have left a partial line) still parses it
     sys.stderr.flush()
     sys.stdout.flush()
-    sys.stdout.write("\n" + json.dumps(out) + "\n")
+    line = json.dumps(headline)
+    assert len(line) < 1900, f"headline JSON too long for driver tail: {len(line)}"
+    sys.stdout.write("\n" + line + "\n")
     sys.stdout.flush()
 
 

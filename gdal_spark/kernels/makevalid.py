@@ -36,6 +36,7 @@ starting at its lexicographically smallest vertex.
 
 from __future__ import annotations
 
+import bisect
 import math
 
 _Q = 9  # coordinate quantization decimals for noding
@@ -191,24 +192,55 @@ def _crossings(edge_list, ym):
     return xs
 
 
-def _face_point(cyc, all_edges, positive):
+def _global_ys(all_edges):
+    """Sorted distinct y-values of every arrangement vertex.  Scanline
+    probes must run strictly BETWEEN adjacent event rows: a ym taken
+    from one cycle's own vertices alone can coincide with another
+    component's horizontal edge or vertex, landing the probe point ON
+    the arrangement (half-open ray-cast then misclassifies the face —
+    the coincident-boundary intersection bug)."""
+    ys = set()
+    for (x1, y1), (x2, y2) in all_edges:
+        ys.add(y1)
+        ys.add(y2)
+    return sorted(ys)
+
+
+def _band_mid(y0, gys):
+    """Midpoint of the global event band starting at y0 (strictly
+    between y0 and the next distinct arrangement y); None if y0 is the
+    topmost event row."""
+    i = bisect.bisect_right(gys, y0)
+    if i >= len(gys):
+        return None
+    return (y0 + gys[i]) / 2.0
+
+
+def _face_point(cyc, all_edges, positive, gys):
     """A point strictly inside the FACE bounded by cycle `cyc` (not just
     inside the cycle polygon — islands of the arrangement are dodged by
-    clipping to the nearest arrangement edge). Scanline through the band
-    between the cycle's two lowest distinct vertex y's; x1 = first
-    crossing of the cycle's own edges. positive: the face lies just
-    right of x1 (toward the next arrangement crossing); negative: just
-    left (toward the previous one) — returns None when that side is the
-    unbounded face."""
-    ys = sorted({p[1] for p in cyc})
-    ym = (ys[0] + ys[1]) / 2.0 if len(ys) > 1 else ys[0]
+    clipping to the nearest arrangement edge). Scanline through the
+    global event band just above the cycle's lowest vertex (so the probe
+    never lies on any arrangement edge or vertex); x1 = first crossing
+    of the cycle's own edges. positive: the face lies just right of x1
+    (toward the next arrangement crossing); negative: just left (toward
+    the previous one) — returns None when that side is the unbounded
+    face (or the band degenerates)."""
+    y0 = min(p[1] for p in cyc)
+    ym = _band_mid(y0, gys)
+    if ym is None:
+        return None
     own = [(cyc[i], cyc[(i + 1) % len(cyc)]) for i in range(len(cyc))]
-    x1 = min(_crossings(own, ym))
+    own_x = _crossings(own, ym)
+    if not own_x:
+        return None
+    x1 = min(own_x)
     allx = _crossings(all_edges, ym)
     if positive:
         nxt = [x for x in allx if x > x1 + 1e-12]
-        x2 = min(nxt)  # the cycle itself crosses again further right
-        return ((x1 + x2) / 2.0, ym)
+        if not nxt:
+            return None  # degenerate sliver: no face to the right
+        return ((x1 + min(nxt)) / 2.0, ym)
     prev = [x for x in allx if x < x1 - 1e-12]
     if not prev:
         return None  # borders the unbounded face
@@ -272,16 +304,17 @@ def _canon_ring(ring, ccw: bool):
     return pts + [pts[0]]  # closed
 
 
-def _keep_per_cycle(cycles, all_edges, comp_rings, min_area, covered=None):
+def _keep_per_cycle(cycles, all_edges, comp_rings, min_area, covered=None, gys=None):
     """For each cycle, is the face it bounds part of the repaired
     interior? (Unbounded face and degenerate cycles -> False.)"""
     covered = covered or _covered
+    gys = gys if gys is not None else _global_ys(all_edges)
     keep = []
     for cyc, area in cycles:
         if abs(area) <= min_area:
             keep.append(False)
             continue
-        pt = _face_point(cyc, all_edges, positive=area > 0)
+        pt = _face_point(cyc, all_edges, positive=area > 0, gys=gys)
         keep.append(pt is not None and covered(pt, comp_rings))
     return keep
 
@@ -305,9 +338,10 @@ def make_valid(components, covered=None):
         return []
     min_area = 1e-12
     all_edges = edges
+    gys = _global_ys(all_edges)
 
     cycles = _faces(edges)
-    keep = _keep_per_cycle(cycles, all_edges, comp_rings, min_area, covered)
+    keep = _keep_per_cycle(cycles, all_edges, comp_rings, min_area, covered, gys)
     side = {}  # directed half-edge -> keep of its face
     for (cyc, _area), k in zip(cycles, keep):
         for i in range(len(cyc)):
@@ -331,7 +365,7 @@ def make_valid(components, covered=None):
     kept = [
         (cyc, area, [])
         for (cyc, area), k in zip(
-            pos, _keep_per_cycle(pos, all_edges, comp_rings, min_area, covered)
+            pos, _keep_per_cycle(pos, all_edges, comp_rings, min_area, covered, gys)
         )
         if k
     ]
@@ -339,10 +373,10 @@ def make_valid(components, covered=None):
     for cyc, _area in neg:
         # a hole's bordering face is interior (kept); the unbounded
         # face's cycle has no bordering interior and is dropped
-        pt = _face_point(cyc, all_edges, positive=False)
+        pt = _face_point(cyc, all_edges, positive=False, gys=gys)
         if pt is None or not covered(pt, comp_rings):
             continue
-        rp = _rep_point_inside(cyc)
+        rp = _rep_point_inside(cyc, gys)
         for owner in kept:
             if _in_ring(rp, owner[0]):
                 owner[2].append(cyc)
@@ -356,12 +390,18 @@ def make_valid(components, covered=None):
     return out
 
 
-def _rep_point_inside(cyc):
+def _rep_point_inside(cyc, gys=None):
     """A point inside the region ENCLOSED by cycle cyc (used only to
     find which outer ring owns a hole — the enclosed region's other
-    occupants are islands, which sit inside the same owner)."""
-    ys = sorted({p[1] for p in cyc})
-    ym = (ys[0] + ys[1]) / 2.0 if len(ys) > 1 else ys[0]
+    occupants are islands, which sit inside the same owner).  Probes in
+    the global event band just above the cycle's lowest vertex so the
+    point never lies on another cycle's edge."""
+    if gys is None:
+        gys = sorted({p[1] for p in cyc})
+    y0 = min(p[1] for p in cyc)
+    ym = _band_mid(y0, gys)
+    if ym is None:
+        ym = y0
     own = [(cyc[i], cyc[(i + 1) % len(cyc)]) for i in range(len(cyc))]
     xs = sorted(_crossings(own, ym))
     return ((xs[0] + xs[1]) / 2.0, ym)

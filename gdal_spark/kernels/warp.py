@@ -54,6 +54,126 @@ BOX_RESAMPLERS = (
 )
 
 
+def _separable(src_gt, dst_gt, src_crs: str, dst_crs: str) -> bool:
+    """True when the dst-pixel -> src-pixel chain is axis-separable:
+    rotation-free geotransforms on both sides and a CRS pair whose
+    transform never mixes axes (identity, or 4326<->3857 — mercator x is
+    a function of lon alone, y of lat alone). Then src x-coords depend
+    only on the dst column and src y-coords only on the dst row, so the
+    per-pixel transform math collapses from h*w to h+w evaluations and
+    gathers become outer (np.ix_) indexing."""
+    if not (dst_gt[2] == 0.0 and dst_gt[4] == 0.0
+            and src_gt[2] == 0.0 and src_gt[4] == 0.0):
+        return False
+    return src_crs == dst_crs or {src_crs, dst_crs} == {
+        "EPSG:4326", "EPSG:3857"
+    }
+
+
+def _sep_src_coords(w, h, dst_gt, dst_crs, src_gt, src_crs):
+    """1-D fractional src pixel coords for dst pixel CENTERS: sx per dst
+    column, sy per dst row.  Bit-identical to the meshgrid chain — the
+    cross terms are exact zeros, and every remaining op is elementwise
+    on the same doubles."""
+    px = np.arange(w, dtype=np.float64) + 0.5
+    py = np.arange(h, dtype=np.float64) + 0.5
+    sx, _ = dst_pixel_to_src_pixel(
+        px, np.full(w, 0.5), dst_gt, dst_crs, src_gt, src_crs
+    )
+    _, sy = dst_pixel_to_src_pixel(
+        np.full(h, 0.5), py, dst_gt, dst_crs, src_gt, src_crs
+    )
+    return sx, sy
+
+
+def _warp_block_separable(
+    src, src_gt, src_crs, dst_shape, dst_gt, dst_crs, resampling,
+    dst_nodata, src_x0, src_y0,
+):
+    """Fast path for near/bilinear/cubic on separable transforms; output
+    bytes identical to the generic path (see tests/test_warp_separable)."""
+    h, w = dst_shape
+    sh, sw = src.shape
+    sx, sy = _sep_src_coords(w, h, dst_gt, dst_crs, src_gt, src_crs)
+    rx = sx - src_x0  # 1-D, length w
+    ry = sy - src_y0  # 1-D, length h
+    if resampling == "near":
+        okx = (rx >= 0) & (rx + 1e-10 <= sw)
+        oky = (ry >= 0) & (ry + 1e-10 <= sh)
+        ix = np.minimum((rx + 1e-10).astype(np.int64), sw - 1)
+        iy = np.minimum((ry + 1e-10).astype(np.int64), sh - 1)
+        gathered = src[np.ix_(np.clip(iy, 0, sh - 1), np.clip(ix, 0, sw - 1))]
+        ok = oky[:, None] & okx[None, :]
+        return np.where(ok, gathered, float(dst_nodata))
+    if resampling == "bilinear":
+        ix = np.floor(rx - 0.5).astype(np.int64)
+        iy = np.floor(ry - 0.5).astype(np.int64)
+        ratx = 1.5 - (rx - ix)
+        raty = 1.5 - (ry - iy)
+        snap_x = ix == -1
+        ix = np.where(snap_x, 0, ix)
+        ratx = np.where(snap_x, 1.0, ratx)
+        snap_y = iy == -1
+        iy = np.where(snap_y, 0, iy)
+        raty = np.where(snap_y, 1.0, raty)
+        acc = np.zeros(dst_shape, dtype=np.float64)
+        div = np.zeros(dst_shape, dtype=np.float64)
+        for dy, wy in ((0, raty), (1, 1.0 - raty)):
+            cy = iy + dy
+            inby = (cy >= 0) & (cy < sh)
+            cyc = np.clip(cy, 0, sh - 1)
+            for dx, wx in ((0, ratx), (1, 1.0 - ratx)):
+                cx = ix + dx
+                inbx = (cx >= 0) & (cx < sw)
+                cxc = np.clip(cx, 0, sw - 1)
+                val = src[np.ix_(cyc, cxc)]
+                wgt = wy[:, None] * wx[None, :]
+                inb = inby[:, None] & inbx[None, :]
+                acc += np.where(inb, val * wgt, 0.0)
+                div += np.where(inb, wgt, 0.0)
+        out = np.full(dst_shape, float(dst_nodata), dtype=np.float64)
+        ok = div > 0
+        out[ok] = acc[ok] / div[ok]
+        return out
+    if resampling == "cubic":
+        bil = _warp_block_separable(
+            src, src_gt, src_crs, dst_shape, dst_gt, dst_crs,
+            "bilinear", dst_nodata, src_x0, src_y0,
+        )
+        ix = np.trunc(rx - 0.5).astype(np.int64)
+        iy = np.trunc(ry - 0.5).astype(np.int64)
+        dx = rx - 0.5 - ix
+        dy = ry - 0.5 - iy
+        intx = (ix - 1 >= 0) & (ix + 2 < sw)
+        inty = (iy - 1 >= 0) & (iy + 2 < sh)
+        interior = inty[:, None] & intx[None, :]
+
+        def weights(t):
+            half = 0.5 * t
+            three = 3.0 * t
+            half2 = half * t
+            return (
+                half * (-1 + t * (2 - t)),
+                1 + half2 * (-5 + three),
+                half * (1 + t * (4 - three)),
+                half2 * (-1 + t),
+            )
+
+        wx = weights(dx)
+        wy = weights(dy)
+        ii = np.clip(ix, 1, max(sw - 3, 1))
+        jj2 = np.clip(iy, 1, max(sh - 3, 1))
+        acc = np.zeros(dst_shape, dtype=np.float64)
+        for r, wyr in enumerate(wy):
+            row = np.zeros(dst_shape, dtype=np.float64)
+            cy = jj2 + (r - 1)
+            for c, wxc in enumerate(wx):
+                row += wxc[None, :] * src[np.ix_(cy, ii + (c - 1))]
+            acc += wyr[:, None] * row
+        return np.where(interior, acc, bil)
+    raise ValueError(resampling)
+
+
 def warp_block(
     src: np.ndarray,
     src_gt,
@@ -74,6 +194,13 @@ def warp_block(
     (src_x0, src_y0) — callers gather only the needed window (the Spark
     operator's ComputeSourceWindow analogue).
     """
+    if resampling in ("near", "bilinear", "cubic") and _separable(
+        src_gt, dst_gt, src_crs, dst_crs
+    ):
+        return _warp_block_separable(
+            src, src_gt, src_crs, dst_shape, dst_gt, dst_crs, resampling,
+            dst_nodata, src_x0, src_y0,
+        )
     h, w = dst_shape
     jj, ii = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     sx, sy = dst_pixel_to_src_pixel(

