@@ -236,7 +236,92 @@ def q_ann_ivf(spark, sf_dir):
     return SIM.ann_ivf(e, SIM.queries_subset(e), ANN_K)
 
 
+def _aug_embeddings(spark, sf_dir):
+    """Embeddings + planted near-dup structure (deterministic, engine-
+    replicable): exact copies (vid+100000, every 25th) and transitive
+    chains a ~ a+0.2c ~ a+0.4c (vid+200000/300000, every 50th, c = the
+    next vector) — the middle blend links the endpoints even though the
+    endpoints themselves fall below the cosine threshold."""
+    base = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            F.col("vec_id").alias("vid"),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("vec"),
+        )
+    )
+    dup = base.filter(F.col("vid") % 25 == 0).select(
+        (F.col("vid") + 100000).alias("vid"), "vec"
+    )
+    nxt = base.select((F.col("vid") - 1).alias("vid"), F.col("vec").alias("vec2"))
+    chain_src = base.filter(F.col("vid") % 50 == 0).join(nxt, "vid")
+    m1 = chain_src.select(
+        (F.col("vid") + 200000).alias("vid"),
+        F.expr("zip_with(vec, vec2, (x, y) -> x + 0.2D * y)").alias("vec"),
+    )
+    m2 = chain_src.select(
+        (F.col("vid") + 300000).alias("vid"),
+        F.expr("zip_with(vec, vec2, (x, y) -> x + 0.4D * y)").alias("vec"),
+    )
+    return base.unionByName(dup).unionByName(m1).unionByName(m2)
+
+
+def q_dedup_embeddings(spark, sf_dir):
+    """Embedding near-dup clusters: banded sign-LSH candidates ->
+    cosine >= 0.95 -> connected components (min-id representative).
+    Oracle replicates bands + cosine + a recursive-CTE closure."""
+    return DD.dedup_embeddings(
+        _aug_embeddings(spark, sf_dir), id_col="vid", vec_col="vec"
+    ).orderBy("vec_id")
+
+
+def _aug_embeddings_cte() -> str:
+    blend = (
+        "list_transform(range(1, len(a.vec) + 1), "
+        "i -> a.vec[i] + {f} * c.vec[i])"
+    )
+    return f"""
+      b0 AS (SELECT vec_id AS vid,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+             FROM embeddings),
+      aug AS (
+        SELECT vid, vec FROM b0
+        UNION ALL
+        SELECT vid + 100000 AS vid, vec FROM b0 WHERE vid % 25 = 0
+        UNION ALL
+        SELECT a.vid + 200000 AS vid, {blend.format(f='0.2')} AS vec
+        FROM b0 a JOIN b0 c ON c.vid = a.vid + 1 WHERE a.vid % 50 = 0
+        UNION ALL
+        SELECT a.vid + 300000 AS vid, {blend.format(f='0.4')} AS vec
+        FROM b0 a JOIN b0 c ON c.vid = a.vid + 1 WHERE a.vid % 50 = 0
+      )"""
+
+
 # ------------------------------------------- OGR SQL dialect semantics
+
+
+def q_ogr_sql_exec(spark, sf_dir):
+    """ExecuteSQL STRING entry (gcore/gdaldataset.cpp:6985 lifecycle):
+    one dialect statement driving FOUR quirks at once — SUBSTR with a
+    negative offset, CAST C-truncation, case-insensitive ILIKE, and the
+    first-match-only LEFT JOIN (orders have many rows per customer; OGR
+    pairs the FIRST in FID order). The oracle hand-writes the ANSI
+    equivalent."""
+    from gdal_spark.operators.ogr_sql_exec import execute_ogr_sql
+
+    layers = {
+        "customer": spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        "orders": spark.read.parquet(f"{sf_dir}/orders.parquet"),
+    }
+    stmt = (
+        "SELECT c_custkey, SUBSTR(c_name, -3) AS tail, "
+        "CAST(c_acctbal AS integer) AS bal_i, o_orderkey "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+        "WHERE c_name ILIKE '%customer#00000%' "
+        "ORDER BY c_custkey LIMIT 30"
+    )
+    return execute_ogr_sql(
+        spark, stmt, layers, fid_cols={"orders": "o_orderkey"}
+    )
 
 
 def q_ogr_summary(spark, sf_dir):
@@ -2593,11 +2678,26 @@ def q_geom_boolean(spark, sf_dir):
             [[(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s), (x0, y0)]]
         )
 
+    def rects(parts):
+        return W.multipolygon_wkb(
+            [
+                [[(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h),
+                  (x0, y0)]]
+                for x0, y0, w, h in parts
+            ]
+        )
+
     rows = [
         (1, sq(0, 0, 4), sq(2, 2, 4)),    # overlap 2x2
         (2, sq(0, 0, 6), sq(2, 2, 2)),    # b nested in a
         (3, sq(0, 0, 2), sq(5, 5, 2)),    # disjoint
         (4, sq(0, 0, 3), sq(0, 0, 3)),    # identical
+        # adjacent squares: fully shared edge (adjacent-zones case)
+        (5, sq(0, 0, 2), sq(2, 0, 2)),
+        # multipolygons sharing an edge AND a fully coincident component
+        # (the r3 coincident-boundary hole bug's exact shape)
+        (6, rects([(0, 0, 3, 2), (3, 0, 1, 2)]),
+            rects([(0, 1, 2, 1), (3, 0, 1, 2)])),
     ]
     df = local_df(spark, rows, "gid int, ga binary, gb binary")
     st = wkb_stats_udf()
@@ -2695,6 +2795,54 @@ def q_zone_predicates(spark, sf_dir):
         (F.col("btouch") & (F.col("iarea") <= eps)).alias("touches"),
         F.round("iarea", 9).alias("inter_area"),
     ).orderBy("aid", "bid")
+
+
+def q_st_relate(spark, sf_dir):
+    """All eight ST_* predicates (ogrsqlitesqlfunctions.cpp:876-884:
+    Intersects/Equals/Disjoint/Touches/Crosses/Within/Contains/Overlaps)
+    across MIXED geometry dimensions — line×line (proper cross, collinear
+    overlap, endpoint touch, containment), line×polygon (cross,
+    boundary-ride, within), point mixes, polygon×polygon.  Completes the
+    DE-9IM straggler set (ST_Crosses + line/point cases) the earlier
+    zone_predicates query scoped out; the oracle is the hand-derived
+    truth table, independently pinned by tests/test_relate.py."""
+    from gdal_spark.kernels import wkb as W
+    from gdal_spark.operators.geom import _RELATE_PREDS, st_relate_udf
+    from gdal_spark.session import local_df
+
+    def LS(*pts):
+        return W.linestring_wkb(pts)
+
+    def SQ(x0, y0, s):
+        return W.polygon_wkb(
+            [[(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s),
+              (x0, y0)]]
+        )
+
+    P = W.point_wkb
+    rows = [
+        (1, LS((0, 0), (2, 2)), LS((0, 2), (2, 0))),   # proper cross
+        (2, LS((0, 0), (2, 0)), LS((1, 0), (3, 0))),   # collinear overlap
+        (3, LS((0, 0), (1, 1)), LS((1, 1), (2, 0))),   # endpoint touch
+        (4, LS((1, 0), (2, 0)), LS((0, 0), (3, 0))),   # line within line
+        (5, LS((-1, 1), (3, 1)), SQ(0, 0, 2)),         # line crosses poly
+        (6, LS((0, 0), (2, 0)), SQ(0, 0, 2)),          # rides the shell
+        (7, LS((0.5, 0.5), (1.5, 1.5)), SQ(0, 0, 2)),  # line within poly
+        (8, P(1, 1), SQ(0, 0, 2)),                     # point in poly
+        (9, P(0, 1), SQ(0, 0, 2)),                     # point on shell
+        (10, SQ(0, 0, 2), SQ(1, 1, 2)),                # polys overlap
+        (11, SQ(0, 0, 1), SQ(1, 0, 1)),                # polys touch
+        (12, SQ(0, 0, 2), SQ(0, 0, 2)),                # polys equal
+        (13, SQ(0, 0, 2), LS((0.5, 0.5), (1.5, 1.5))),  # poly contains line
+        (14, P(5, 5), SQ(0, 0, 2)),                    # disjoint
+    ]
+    df = local_df(spark, rows, "gid int, ga binary, gb binary")
+    rel = st_relate_udf()
+    return df.select(
+        "gid", rel("ga", "gb").alias("r")
+    ).select("gid", *[F.col(f"r.{p}").alias(p) for p in _RELATE_PREDS]).orderBy(
+        "gid"
+    )
 
 
 def q_overlay_fishnet(spark, sf_dir):
@@ -3184,6 +3332,8 @@ _QUERIES = {
         "ann_lsh": q_ann_lsh,
         "ann_lsh_mp": q_ann_lsh_mp,
         "ann_ivf": q_ann_ivf,
+        "dedup_embeddings": q_dedup_embeddings,
+        "ogr_sql_exec": q_ogr_sql_exec,
         "ogr_summary": q_ogr_summary,
         "ogr_distinct": q_ogr_distinct,
         "ogr_first_match_join": q_ogr_first_match_join,
@@ -3269,6 +3419,7 @@ _QUERIES = {
         "overlay_erase": q_overlay_erase,
         "overlay_union": q_overlay_union,
         "overlay_clip": q_overlay_clip,
+        "st_relate": q_st_relate,
         "overlay_symdiff": q_overlay_symdiff,
         "overlay_identity": q_overlay_identity,
         "overlay_update": q_overlay_update,
@@ -3357,6 +3508,30 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": SIM.ann_lsh_sql(ANN_K),
         "ann_lsh_mp": SIM.ann_lsh_mp_sql(ANN_K),
         "ann_ivf": SIM.ann_ivf_sql(ANN_K),
+        "dedup_embeddings": (
+            "WITH RECURSIVE "
+            + _aug_embeddings_cte()
+            + ", "
+            + DD.dedup_embeddings_sql("aug")
+            + " ORDER BY vec_id"
+        ),
+        "ogr_sql_exec": f"""
+            WITH first_o AS (
+              SELECT o_custkey, o_orderkey FROM (
+                SELECT o_custkey, o_orderkey,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderkey) AS rn
+                FROM orders
+              ) WHERE rn = 1
+            )
+            SELECT c_custkey,
+                   {OG.ogr_substr_sql('c_name', -3)} AS tail,
+                   CAST(TRUNC(CAST(c_acctbal AS DOUBLE)) AS BIGINT) AS bal_i,
+                   o_orderkey
+            FROM customer LEFT JOIN first_o ON c_custkey = o_custkey
+            WHERE c_name ILIKE '%customer#00000%'
+            ORDER BY c_custkey LIMIT 30
+        """,
         "ogr_summary": f"""
             SELECT COUNT(*) AS n_rows,
                    COUNT(DISTINCT l_returnflag) AS n_flags,
@@ -3731,9 +3906,37 @@ def oracle_sql() -> dict[str, str]:
               (4, 'difference',    0, 0, 0.0),
               (4, 'intersection',  1, 1, 9.0),
               (4, 'symdifference', 0, 0, 0.0),
-              (4, 'union',         1, 1, 9.0)
+              (4, 'union',         1, 1, 9.0),
+              (5, 'difference',    1, 1, 4.0),
+              (5, 'intersection',  0, 0, 0.0),
+              (5, 'symdifference', 1, 1, 8.0),
+              (5, 'union',         1, 1, 8.0),
+              (6, 'difference',    1, 1, 4.0),
+              (6, 'intersection',  2, 2, 4.0),
+              (6, 'symdifference', 1, 1, 4.0),
+              (6, 'union',         1, 1, 8.0)
             ) AS t(gid, op, n_polys, n_rings, area)
             ORDER BY gid, op
+        """,
+        "st_relate": """
+            SELECT * FROM (VALUES
+              (1, TRUE, FALSE, FALSE, FALSE, TRUE, FALSE, FALSE, FALSE),
+              (2, TRUE, FALSE, FALSE, FALSE, FALSE, FALSE, FALSE, TRUE),
+              (3, TRUE, FALSE, FALSE, TRUE, FALSE, FALSE, FALSE, FALSE),
+              (4, TRUE, FALSE, FALSE, FALSE, FALSE, TRUE, FALSE, FALSE),
+              (5, TRUE, FALSE, FALSE, FALSE, TRUE, FALSE, FALSE, FALSE),
+              (6, TRUE, FALSE, FALSE, TRUE, FALSE, FALSE, FALSE, FALSE),
+              (7, TRUE, FALSE, FALSE, FALSE, FALSE, TRUE, FALSE, FALSE),
+              (8, TRUE, FALSE, FALSE, FALSE, FALSE, TRUE, FALSE, FALSE),
+              (9, TRUE, FALSE, FALSE, TRUE, FALSE, FALSE, FALSE, FALSE),
+              (10, TRUE, FALSE, FALSE, FALSE, FALSE, FALSE, FALSE, TRUE),
+              (11, TRUE, FALSE, FALSE, TRUE, FALSE, FALSE, FALSE, FALSE),
+              (12, TRUE, TRUE, FALSE, FALSE, FALSE, TRUE, TRUE, FALSE),
+              (13, TRUE, FALSE, FALSE, FALSE, FALSE, FALSE, TRUE, FALSE),
+              (14, FALSE, FALSE, TRUE, FALSE, FALSE, FALSE, FALSE, FALSE)
+            ) AS t(gid, "intersects", "equals", "disjoint", "touches",
+                   "crosses", "within", "contains", "overlaps")
+            ORDER BY gid
         """,
         "zone_predicates": """
             SELECT * FROM (VALUES

@@ -63,6 +63,46 @@ def multipolygon_wkb(polys) -> bytes:
     return b"".join(out)
 
 
+def linestring_wkb(pts) -> bytes:
+    """Encode a 2-D linestring (sequence of (x, y)) as NDR WKB."""
+    out = [struct.pack("<BII", 1, WKB_LINESTRING, len(pts))]
+    for x, y in pts:
+        out.append(struct.pack("<dd", float(x), float(y)))
+    return b"".join(out)
+
+
+def decode_linestrings(buf: bytes):
+    """Decode WKB LineString or MultiLineString -> list of (N,2) arrays."""
+    order, gtype, off = _read_header(buf, 0)
+    if gtype == WKB_LINESTRING:
+        arr, _ = _decode_ring_block(buf, off, order)
+        return [arr]
+    if gtype == WKB_MULTILINESTRING:
+        (n,) = struct.unpack_from(order + "I", buf, off)
+        off += 4
+        lines = []
+        for _ in range(n):
+            order2, gtype2, off = _read_header(buf, off)
+            if gtype2 != WKB_LINESTRING:
+                raise ValueError(f"multilinestring member type {gtype2}")
+            arr, off = _decode_ring_block(buf, off, order2)
+            lines.append(arr)
+        return lines
+    raise ValueError(f"not a WKB (multi)linestring: type {gtype}")
+
+
+def geom_kind(buf: bytes) -> str:
+    """'P' point, 'L' (multi)linestring, 'A' (multi)polygon."""
+    _, gtype, _ = _read_header(buf, 0)
+    if gtype in (WKB_POINT, WKB_MULTIPOINT):
+        return "P"
+    if gtype in (WKB_LINESTRING, WKB_MULTILINESTRING):
+        return "L"
+    if gtype in (WKB_POLYGON, WKB_MULTIPOLYGON):
+        return "A"
+    raise ValueError(f"unsupported WKB type {gtype}")
+
+
 def box_wkb(minx: float, miny: float, maxx: float, maxy: float) -> bytes:
     """Axis-aligned rectangle polygon (CCW outer ring), as NDR WKB."""
     return polygon_wkb(

@@ -251,6 +251,34 @@ def wkb_stats_udf():
     return _f
 
 
+_RELATE_PREDS = (
+    "intersects", "equals", "disjoint", "touches",
+    "crosses", "within", "contains", "overlaps",
+)
+
+
+def st_relate_udf():
+    """pandas_udf: all eight ST_* predicates
+    (ogrsqlitesqlfunctions.cpp:876-884 set) for a WKB geometry pair of
+    any kind mix — Point / (Multi)LineString / (Multi)Polygon
+    (kernels/relate DE-9IM evaluation)."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    from ..kernels.relate import relate_wkb
+
+    @F.pandas_udf(
+        StructType([StructField(p, BooleanType()) for p in _RELATE_PREDS])
+    )
+    def _f(ga: pd.Series, gb: pd.Series) -> pd.DataFrame:
+        rows = []
+        for a, b in zip(ga, gb):
+            r = relate_wkb(bytes(a), bytes(b))
+            rows.append(tuple(bool(r[p]) for p in _RELATE_PREDS))
+        return pd.DataFrame(rows, columns=list(_RELATE_PREDS))
+
+    return _f
+
+
 def geodesic_stats_udf():
     """pandas_udf: (garea, glength) — WGS84 geodesic area (m^2) and
     perimeter (m) of a (multi)polygon WKB in lon/lat degrees

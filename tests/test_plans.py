@@ -105,9 +105,13 @@ def test_warp_single_data_exchange(spark):
         spark, arr, (0, 0.01, 0, 0, 0, -0.01), "EPSG:4326", block=16
     )
     dst = R.RasterMeta(64, 64, (0, 0.01, 0, 0, 0, -0.01), "EPSG:3857", block=16)
-    plan = plan_of(R.warp(blocks, src, dst, "near"))
+    plan = plan_of(R.warp(blocks, src, dst, "near", gather="shuffle"))
     non_broadcast = [
         ln for ln in plan.splitlines()
         if re.search(r"\bExchange\b", ln) and "Broadcast" not in ln
     ]
     assert len(non_broadcast) <= 1, non_broadcast
+    # broadcast gather (the small-raster auto path): ZERO exchanges —
+    # a range skeleton straight into one python stage
+    plan_b = plan_of(R.warp(blocks, src, dst, "near", gather="broadcast"))
+    assert not re.search(r"\bExchange\b", plan_b), plan_b
