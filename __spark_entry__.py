@@ -3259,6 +3259,13 @@ _CHANGED_SINCE_STAMP = frozenset({
     "overlay_clip", "overlay_symdiff", "overlay_identity",
     "overlay_update", "overlay_fishnet", "contour_polys",
     "zone_predicates",
+    # r4 warp rework: separable fast paths (near/bilinear/cubic +
+    # matrix-product box resamplers) and the broadcast gather
+    "warp_near", "warp_bilinear", "warp_cubic", "warp_average",
+    "warp_rms", "warp_sum", "warp_min", "warp_max", "warp_med",
+    "warp_q1", "warp_q3", "warp_mode", "warp_cubicspline",
+    "warp_lanczos", "warp_cutline", "raster_srcwin", "raster_mosaic",
+    "raster_resize", "pansharpen",
 })
 
 

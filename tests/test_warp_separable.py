@@ -55,6 +55,26 @@ def test_separable_matches_generic_offset_window(case, resampling, monkeypatch):
     assert fast.tobytes() == slow.tobytes()
 
 
+@pytest.mark.parametrize("resampling", ["average", "rms", "sum"])
+def test_box_separable_matches_loop(case, resampling, monkeypatch):
+    """The matrix-product box resample (Wy @ src @ Wx^T) must match the
+    per-pixel loop to ulp level (consumers round to >= 4 decimals; the
+    only difference is summation order)."""
+    src, gt_src, gt_dst, size = case
+    fast = WK.warp_block(
+        src, gt_src, "EPSG:3857", (size, size), gt_dst, "EPSG:4326",
+        resampling, -1.0, src_total_w=280, src_total_h=300,
+    )
+    monkeypatch.setattr(WK, "_separable", lambda *a: False)
+    slow = WK.warp_block(
+        src, gt_src, "EPSG:3857", (size, size), gt_dst, "EPSG:4326",
+        resampling, -1.0, src_total_w=280, src_total_h=300,
+    )
+    assert ((fast == -1.0) == (slow == -1.0)).all()
+    ok = slow != -1.0
+    assert np.allclose(fast[ok], slow[ok], rtol=1e-12, atol=1e-10)
+
+
 @pytest.mark.parametrize("resampling", ["near", "bilinear", "average"])
 def test_broadcast_gather_matches_shuffle(spark, resampling):
     """The broadcast small-raster gather and the grouped-shuffle gather
