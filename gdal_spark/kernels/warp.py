@@ -135,6 +135,56 @@ def _warp_block_separable(
         ok = div > 0
         out[ok] = acc[ok] / div[ok]
         return out
+    if resampling in ("cubicspline", "lanczos"):
+        ix = np.floor(rx - 0.5).astype(np.int64)
+        iy = np.floor(ry - 0.5).astype(np.int64)
+        dxf = rx - 0.5 - ix
+        dyf = ry - 0.5 - iy
+        if resampling == "cubicspline":
+            def basis(x):
+                xp2 = x + 2.0
+                xp1 = x + 1.0
+                xm1 = x - 1.0
+                t1 = np.where(xm1 > 0.0, -4.0 * xm1 * xm1 * xm1, 0.0)
+                t2 = np.where(x > 0.0, t1 + 6.0 * x * x * x, 0.0)
+                t3 = np.where(xp1 > 0.0, t2 + -4.0 * xp1 * xp1 * xp1, 0.0)
+                return np.where(xp2 > 0.0, t3 + xp2 * xp2 * xp2, 0.0)
+
+            taps = range(-1, 3)
+        else:
+            def basis(t):
+                pix = np.pi * t
+                pix_over_r = pix / 3.0
+                pix2_over_r = pix * pix_over_r
+                s = np.sin(pix_over_r)
+                s2 = s * s
+                num = (3.0 - 4.0 * s2) * s2
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    out_w = num / pix2_over_r
+                return np.where(t == 0.0, 1.0, out_w)
+
+            taps = range(-2, 4)
+        acc = np.zeros(dst_shape, dtype=np.float64)
+        wsum = np.zeros(dst_shape, dtype=np.float64)
+        for r in taps:
+            wy = basis(dyf - r)
+            cy = iy + r
+            inby = (cy >= 0) & (cy < sh)
+            cyc = np.clip(cy, 0, sh - 1)
+            for c in taps:
+                wx = basis(dxf - c)
+                cx = ix + c
+                inbx = (cx >= 0) & (cx < sw)
+                cxc = np.clip(cx, 0, sw - 1)
+                wgt = wy[:, None] * wx[None, :]
+                inb = inby[:, None] & inbx[None, :]
+                val = src[np.ix_(cyc, cxc)]
+                acc += np.where(inb, val * wgt, 0.0)
+                wsum += np.where(inb, wgt, 0.0)
+        out = np.full(dst_shape, float(dst_nodata), dtype=np.float64)
+        ok = wsum > 1e-6
+        out[ok] = acc[ok] / wsum[ok]
+        return out
     if resampling == "cubic":
         bil = _warp_block_separable(
             src, src_gt, src_crs, dst_shape, dst_gt, dst_crs,
@@ -194,9 +244,9 @@ def warp_block(
     (src_x0, src_y0) — callers gather only the needed window (the Spark
     operator's ComputeSourceWindow analogue).
     """
-    if resampling in ("near", "bilinear", "cubic") and _separable(
-        src_gt, dst_gt, src_crs, dst_crs
-    ):
+    if resampling in (
+        "near", "bilinear", "cubic", "cubicspline", "lanczos"
+    ) and _separable(src_gt, dst_gt, src_crs, dst_crs):
         return _warp_block_separable(
             src, src_gt, src_crs, dst_shape, dst_gt, dst_crs, resampling,
             dst_nodata, src_x0, src_y0,

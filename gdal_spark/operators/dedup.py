@@ -443,6 +443,7 @@ def dedup_embeddings(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iters: int = 20,
+    edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Embedding near-dup composition (VERDICT r3 #8): LSH candidate
     pairs -> cosine-threshold filter -> connected components.  Returns
@@ -458,8 +459,12 @@ def dedup_embeddings(
       * verify: candidate pairs join back to the embeddings (two
         bucketed equi-joins) and keep cos >= threshold — the same
         join-back-verify posture as MinHash (lsh_pairs).
-      * components: polygonize._distributed_min_label — min-label
-        propagation with pointer jumping, O(log diameter) join rounds.
+      * components: two-tier like polygonize's merge — surviving edges
+        are near-dup pairs (a tiny fraction of the corpus), so below
+        `edge_threshold` they collect to a driver union-find (exact,
+        no join loop); above it, polygonize._distributed_min_label —
+        min-label propagation with pointer jumping, O(log diameter)
+        join rounds, nothing on the driver.
     Recall (candidate coverage vs a quadratic scan) is measured in
     tests/test_dedup_embeddings.py; the oracle replicates the banding
     exactly, so driver parity tests the implementation, not recall."""
@@ -488,15 +493,49 @@ def dedup_embeddings(
         .withColumn("cos", F.expr(_cos_expr("veca", "vecb")))
         .filter(F.col("cos") >= threshold)
         .select("la", "lb")
+        .persist()
     )
-    comp = _distributed_min_label(edges, max_iters)
-    return (
-        e.select("vid")
-        .join(comp.withColumnRenamed("label", "vid"), "vid", "left")
-        .select(
-            F.col("vid").alias("vec_id"),
-            F.coalesce("comp", "vid").alias("rep_id"),
+    n_edges = edges.count()
+    if n_edges == 0:
+        comp = None
+    elif n_edges <= edge_threshold:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            ra, rb = find(int(r["la"])), find(int(r["lb"]))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        mapping = sorted(
+            (v, find(v)) for v in {int(r["la"]) for r in rows}
+            | {int(r["lb"]) for r in rows}
         )
+        from ..session import local_df
+
+        comp = F.broadcast(
+            local_df(edges.sparkSession, mapping, "vid long, comp long")
+        )
+    else:
+        comp = _distributed_min_label(edges, max_iters).withColumnRenamed(
+            "label", "vid"
+        )
+    edges.unpersist()
+    out = e.select("vid")
+    if comp is not None:
+        out = out.join(comp, "vid", "left")
+    else:
+        out = out.withColumn("comp", F.lit(None).cast("long"))
+    return out.select(
+        F.col("vid").alias("vec_id"),
+        F.coalesce("comp", "vid").alias("rep_id"),
     )
 
 

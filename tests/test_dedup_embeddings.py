@@ -110,6 +110,24 @@ def test_candidate_recall_vs_brute(spark, aug, aug_np):
     assert recall >= 0.9, (recall, len(true_pairs))
 
 
+def test_distributed_cc_matches_driver(spark, aug):
+    """edge_threshold=0 forces the distributed min-label path; clusters
+    must equal the driver union-find's."""
+    from gdal_spark.operators.dedup import dedup_embeddings
+
+    a = {
+        r["vec_id"]: r["rep_id"]
+        for r in dedup_embeddings(aug, THRESH, id_col="vid", vec_col="vec").collect()
+    }
+    b = {
+        r["vec_id"]: r["rep_id"]
+        for r in dedup_embeddings(
+            aug, THRESH, id_col="vid", vec_col="vec", edge_threshold=0
+        ).collect()
+    }
+    assert a == b
+
+
 def test_matches_exact_union_find(spark, aug, aug_np):
     """Clusters computed by the Spark operator equal the exact scan's
     union-find RESTRICTED to pairs the banding surfaced — i.e. the

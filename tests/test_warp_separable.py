@@ -22,7 +22,7 @@ def case():
     return src, gt_src, gt_dst, size
 
 
-@pytest.mark.parametrize("resampling", ["near", "bilinear", "cubic"])
+@pytest.mark.parametrize("resampling", ["near", "bilinear", "cubic", "cubicspline", "lanczos"])
 def test_separable_matches_generic(case, resampling, monkeypatch):
     src, gt_src, gt_dst, size = case
     fast = WK.warp_block(
@@ -37,7 +37,7 @@ def test_separable_matches_generic(case, resampling, monkeypatch):
     assert fast.tobytes() == slow.tobytes()
 
 
-@pytest.mark.parametrize("resampling", ["near", "bilinear", "cubic"])
+@pytest.mark.parametrize("resampling", ["near", "bilinear", "cubic", "cubicspline", "lanczos"])
 def test_separable_matches_generic_offset_window(case, resampling, monkeypatch):
     """Partial-window form (src_x0/src_y0 offsets, edge out-of-bounds)."""
     src, gt_src, gt_dst, size = case
