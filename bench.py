@@ -226,10 +226,25 @@ def main() -> None:
     spark = get_spark("gdal-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     run_pipeline(spark, 100000)  # warm-up: codegen, workers, page cache
+    # python-side warm-up: the pipeline warm-up is JVM-only, so without
+    # this the first pandas-UDF/applyInPandas query in the loop absorbs
+    # the whole python-worker spawn + Arrow first-use cost (measured
+    # 10-20s pinned on whatever query the registry ordering puts first);
+    # warm one scalar-UDF path and one applyInPandas halo path untimed
+    # so per-query timings measure operators at steady state.
+    queries = E.queries()
+    for warm in ("swap_xy", "hillshade"):
+        if warm in queries:
+            try:
+                queries[warm](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name, fn in E.queries().items():
+    for name, fn in queries.items():
         t0 = time.time()
         df = fn(spark, sf_dir)
         # force full execution without driver materialization cost

@@ -44,8 +44,8 @@ from .ogr_sql import _ogr_substr_sql, first_match_left_join
 
 _CLAUSE_RE = re.compile(
     r"^\s*SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<select>.*?)"
-    r"\s+FROM\s+(?P<frm>\w+)"
-    r"(?:\s+LEFT\s+JOIN\s+(?P<join>\w+)\s+ON\s+"
+    r'\s+FROM\s+(?:"(?P<frmq>[^"]+)"|(?P<frm>\w+))'
+    r'(?:\s+LEFT\s+JOIN\s+(?:"(?P<joinq>[^"]+)"|(?P<join>\w+))\s+ON\s+'
     r"(?P<onl>[\w.]+)\s*=\s*(?P<onr>[\w.]+))?"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<order>[\w\s,.]+?))?"
@@ -133,7 +133,7 @@ def execute_ogr_sql(
     m = _CLAUSE_RE.match(statement)
     if not m:
         raise ValueError(f"unsupported OGR SQL statement: {statement!r}")
-    frm = m.group("frm")
+    frm = m.group("frm") or m.group("frmq")
     if frm not in layers:
         raise KeyError(f"unknown layer {frm!r}")
     df = layers[frm]
@@ -145,8 +145,8 @@ def execute_ogr_sql(
     items = [_alias_of(_rewrite_expr(i)) for i in _split_items(m.group("select"))]
     referenced = statement
 
-    if m.group("join"):
-        join_name = m.group("join")
+    if m.group("join") or m.group("joinq"):
+        join_name = m.group("join") or m.group("joinq")
         sec = layers[join_name]
         fid = fid_cols.get(join_name)
         if fid is None:
@@ -179,7 +179,11 @@ def execute_ogr_sql(
         # SWQM_SUMMARY_RECORD: aggregates collapse to one row
         df = df.agg(*[F.expr(e).alias(a) for e, a in items])
     else:
-        df = df.select(*[F.expr(e).alias(a) for e, a in items])
+        cols = [
+            F.col("*") if e.strip() == "*" else F.expr(e).alias(a)
+            for e, a in items
+        ]
+        df = df.select(*cols)
         if m.group("distinct"):
             df = df.distinct()
 

@@ -131,6 +131,17 @@ def test_first_match_join(spark, layers):
     assert got == {(158, "first"), (165, "only")}
 
 
+def test_wildcard_and_quoted_table(spark, layers):
+    # test_ogr_sql_8 / _9: SELECT * expansion, quoted table names
+    out = execute_ogr_sql(
+        spark,
+        'select * from "poly" where eas_id in (158,165) ORDER BY fid',
+        layers,
+    )
+    assert [r["prfedea"] for r in out.collect()] == ["35043367", "35043368"]
+    assert out.columns == ["fid", "eas_id", "prfedea"]
+
+
 def test_substr_cast_ilike(spark, layers):
     """SUBSTR negative offset, CAST C-truncation, ILIKE through the
     string API in one statement."""
