@@ -296,6 +296,33 @@ def _aug_embeddings_cte() -> str:
       )"""
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward-inclusive as-of join (the one SURVEY §2.3 join family the
+    reference lacks; pandas.merge_asof / DuckDB ASOF JOIN semantics):
+    every click event paired with the user's most recent view event at
+    or before it. One sort-shuffle union-window plan — no join operator
+    at all (operators/asof.py). Oracle: DuckDB's native ASOF LEFT JOIN
+    over the identical tie-deduped view stream."""
+    from gdal_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks, views, on="user_id",
+        value_cols=["event_id", "value"], seq_col="event_id",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("asof_event_id").cast("long").alias("asof_event_id"),
+        F.round("asof_value", 9).alias("asof_value"),
+    ).orderBy("event_id")
+
+
 # ------------------------------------------- OGR SQL dialect semantics
 
 
@@ -3340,6 +3367,7 @@ _QUERIES = {
         "ann_lsh_mp": q_ann_lsh_mp,
         "ann_ivf": q_ann_ivf,
         "dedup_embeddings": q_dedup_embeddings,
+        "asof_join": q_asof_join,
         "ogr_sql_exec": q_ogr_sql_exec,
         "ogr_summary": q_ogr_summary,
         "ogr_distinct": q_ogr_distinct,
@@ -3522,6 +3550,22 @@ def oracle_sql() -> dict[str, str]:
             + DD.dedup_embeddings_sql("aug")
             + " ORDER BY vec_id"
         ),
+        "asof_join": """
+            WITH v AS (
+              SELECT user_id, ts, event_id, value FROM (
+                SELECT user_id, ts, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'view') WHERE rn = 1
+            ), c AS (SELECT event_id, user_id, ts, value FROM events
+                     WHERE event_type = 'click')
+            SELECT c.event_id AS event_id, c.user_id AS user_id,
+                   v.event_id AS asof_event_id,
+                   ROUND(v.value, 9) AS asof_value
+            FROM c ASOF LEFT JOIN v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+            ORDER BY c.event_id
+        """,
         "ogr_sql_exec": f"""
             WITH first_o AS (
               SELECT o_custkey, o_orderkey FROM (

@@ -1,0 +1,101 @@
+"""As-of (temporal) join — the training-pipeline operator the reference
+lacks (task brief: "an operator Spark lacks (e.g., as-of join)"; SURVEY
+§2.3 lists range/as-of as the one uncovered join family).
+
+asof_join(left, right): for every left row, the single most recent right
+row of the same key with right.ts <= left.ts (backward direction,
+inclusive) — pandas.merge_asof / DuckDB ASOF JOIN semantics, which is
+also the exact oracle.
+
+Spark-first shape: the classic union trick — tag both sides, union, ONE
+shuffle (partitionBy key, orderBy (ts, side, seq)), then
+last(right_value, ignorenulls=True) over the unbounded-preceding window
+carries the latest right row forward onto each left row.  No join at
+all, no per-key driver work; cost = one sort-shuffle of |L|+|R| rows.
+Hot keys skew exactly like any keyed window — AQE + salting on the key
+apply unchanged.  Ties: right rows at equal ts resolve to the largest
+`seq_col` (deduped BEFORE the union so every engine agrees); a right
+row at exactly left.ts matches (inclusive >=).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    seq_col: str | None = None,
+    tolerance_seconds: float | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward-inclusive as-of join.  Returns every left row plus
+    `prefix`-named right value columns (null when no right row at or
+    before the left timestamp, or outside `tolerance_seconds`)."""
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    r = right
+    if seq_col is not None:
+        # deterministic tie rule at equal timestamps: keep max seq
+        w_dedup = Window.partitionBy(on, right_ts).orderBy(F.col(seq_col).desc())
+        r = (
+            r.withColumn("_rn", F.row_number().over(w_dedup))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(r.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
+        F.lit(None).cast("timestamp").alias("_rt"),
+    )
+    r_tagged = r.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        F.col(right_ts).cast("timestamp").alias("_rt"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    # right rows sort before left rows at the same timestamp -> inclusive
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+        for c in value_cols
+    ]
+    carried_rt = F.last("_rt", ignorenulls=True).over(w).alias("_match_t")
+    out = (
+        u.select("*", *carried, carried_rt)
+        .filter(F.col("_side") == 1)
+        .drop("_k", "_t", "_side", "_rt", *[f"_rv_{c}" for c in value_cols])
+    )
+    if tolerance_seconds is not None:
+        stale = (
+            F.col(left_ts).cast("double") - F.col("_match_t").cast("double")
+            > float(tolerance_seconds)
+        )
+        out = out.select(
+            *lcols,
+            *[
+                F.when(stale, F.lit(None)).otherwise(F.col(f"{prefix}{c}"))
+                .alias(f"{prefix}{c}")
+                for c in value_cols
+            ],
+        )
+        return out
+    return out.drop("_match_t")
