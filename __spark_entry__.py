@@ -323,6 +323,29 @@ def q_asof_join(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q_range_join(spark, sf_dir):
+    """Interval (range) join via time-bucket explode + equi-join + exact
+    BETWEEN refine (no inequality cross product; operators/asof.py
+    range_join): every click inside a 30-minute window opened by each
+    view of the same user. Oracle: the plain BETWEEN join."""
+    from gdal_spark.operators.asof import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    windows = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    out = range_join(clicks, windows, on="user_id", bucket_seconds=1800)
+    return out.select("event_id", "user_id", "window_id").orderBy(
+        "event_id", "window_id"
+    )
+
+
 # ------------------------------------------- OGR SQL dialect semantics
 
 
@@ -3368,6 +3391,7 @@ _QUERIES = {
         "ann_ivf": q_ann_ivf,
         "dedup_embeddings": q_dedup_embeddings,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "ogr_sql_exec": q_ogr_sql_exec,
         "ogr_summary": q_ogr_summary,
         "ogr_distinct": q_ogr_distinct,
@@ -3565,6 +3589,18 @@ def oracle_sql() -> dict[str, str]:
             FROM c ASOF LEFT JOIN v
               ON c.user_id = v.user_id AND c.ts >= v.ts
             ORDER BY c.event_id
+        """,
+        "range_join": """
+            WITH c AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            w AS (SELECT user_id, event_id AS window_id, ts AS start_ts,
+                         ts + INTERVAL 30 MINUTE AS end_ts
+                  FROM events WHERE event_type = 'view')
+            SELECT c.event_id AS event_id, c.user_id AS user_id,
+                   w.window_id AS window_id
+            FROM c JOIN w ON c.user_id = w.user_id
+                         AND c.ts BETWEEN w.start_ts AND w.end_ts
+            ORDER BY event_id, window_id
         """,
         "ogr_sql_exec": f"""
             WITH first_o AS (

@@ -24,6 +24,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch_seconds(c: F.Column) -> F.Column:
+    """Timestamp (LTZ or NTZ — parquet reads NTZ) -> epoch seconds as
+    double; sessions run UTC so the NTZ->LTZ cast is deterministic."""
+    return F.unix_micros(c.cast("timestamp_ltz")) / F.lit(1e6)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -86,7 +92,7 @@ def asof_join(
     )
     if tolerance_seconds is not None:
         stale = (
-            F.col(left_ts).cast("double") - F.col("_match_t").cast("double")
+            _epoch_seconds(F.col(left_ts)) - _epoch_seconds(F.col("_match_t"))
             > float(tolerance_seconds)
         )
         out = out.select(
@@ -99,3 +105,51 @@ def asof_join(
         )
         return out
     return out.drop("_match_t")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval (range) join: every (point, interval) pair of the same
+    key with start <= point_ts <= end — the other half of the range/
+    as-of family.
+
+    Scale shape (no inequality cross product): intervals explode to the
+    epoch-time buckets they span (`bucket_seconds` wide); each point
+    lives in exactly ONE bucket, so a plain (key, bucket) equi-join
+    yields each candidate pair exactly once (no post-dedup), and the
+    exact BETWEEN refine runs JVM-side on the joined rows.  Bucket width
+    trades explode fan-out (long intervals -> many buckets) against
+    candidate precision, exactly like the PIP cell grid; skewed keys
+    fall to AQE skew-join handling.  how='left' keeps unmatched points
+    with null interval columns."""
+    icols = [c for c in intervals.columns if c not in (on,)]
+    b0 = F.floor(_epoch_seconds(F.col(start_col)) / bucket_seconds).cast("long")
+    b1 = F.floor(_epoch_seconds(F.col(end_col)) / bucket_seconds).cast("long")
+    iv = intervals.withColumn("_b", F.explode(F.sequence(b0, b1)))
+    pt = points.withColumn(
+        "_b",
+        F.floor(_epoch_seconds(F.col(point_ts)) / bucket_seconds).cast("long"),
+    )
+    joined = pt.join(iv, [on, "_b"], "inner").filter(
+        (F.col(point_ts) >= F.col(start_col))
+        & (F.col(point_ts) <= F.col(end_col))
+    )
+    if how == "inner":
+        return joined.drop("_b")
+    if how != "left":
+        raise ValueError(f"how must be inner or left, got {how!r}")
+    matched = joined.drop("_b")
+    missing = pt.drop("_b").join(
+        matched.select(*points.columns).distinct(), points.columns, "left_anti"
+    )
+    for c in icols:
+        missing = missing.withColumn(c, F.lit(None).cast(intervals.schema[c].dataType))
+    return matched.unionByName(missing)

@@ -99,3 +99,35 @@ def test_exact_match_inclusive(spark):
     ).collect()
     assert out[0]["asof_event_id"] == 11  # inclusive + max-seq tie rule
     assert out[0]["asof_v"] == 7.0
+
+
+def test_range_join_vs_quadratic(spark, frames):
+    """Bucketed interval join == the quadratic BETWEEN join, including
+    pairs spanning bucket boundaries; left mode keeps unmatched points."""
+    from gdal_spark.operators.asof import range_join
+
+    lf, rf, lp, rp = frames
+    intervals = rf.select(
+        "k",
+        F.col("event_id").alias("iv_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 17 MINUTES")).alias("end_ts"),
+    )
+    got = {
+        (r["event_id"], r["iv_id"])
+        for r in range_join(
+            lf, intervals, on="k", bucket_seconds=300
+        ).collect()
+    }
+    want = {
+        (l["event_id"], r["event_id"])
+        for _, l in lp.iterrows()
+        for _, r in rp.iterrows()
+        if l["k"] == r["k"]
+        and r["ts"] <= l["ts"] <= r["ts"] + pd.Timedelta(minutes=17)
+    }
+    assert got == want
+    left = range_join(lf, intervals, on="k", bucket_seconds=300, how="left")
+    assert left.filter(F.col("iv_id").isNull()).count() == len(
+        set(lp["event_id"]) - {e for e, _ in want}
+    )
