@@ -165,3 +165,45 @@ def test_polygons():
     _check(SQ(0, 0, 1), SQ(5, 5, 1), disjoint=True)
     _check(SQ(0, 0, 2), SQ(0, 0, 2), equals=True, within=True, contains=True,
            overlaps=False, touches=False)
+
+
+# ------------------------------------------------- property: symmetry
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+seg = st.tuples(
+    st.integers(0, 6), st.integers(0, 6), st.integers(0, 6), st.integers(0, 6)
+).filter(lambda s: (s[0], s[1]) != (s[2], s[3]))
+
+
+@settings(max_examples=150, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seg, seg)
+def test_line_line_symmetry(sa, sb):
+    """intersects/touches/crosses/overlaps/equals are symmetric;
+    within(a,b) == contains(b,a); disjoint == not intersects."""
+    a = LS((sa[0], sa[1]), (sa[2], sa[3]))
+    b = LS((sb[0], sb[1]), (sb[2], sb[3]))
+    ab = relate_wkb(a, b)
+    ba = relate_wkb(b, a)
+    for p in ("intersects", "touches", "crosses", "overlaps", "equals",
+              "disjoint"):
+        assert ab[p] == ba[p], (p, sa, sb, ab, ba)
+    assert ab["within"] == ba["contains"], (sa, sb)
+    assert ab["contains"] == ba["within"], (sa, sb)
+    assert ab["disjoint"] == (not ab["intersects"])
+    # touches and crosses and overlaps are mutually exclusive
+    assert ab["touches"] + ab["crosses"] + ab["overlaps"] <= 1
+
+
+@settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seg, st.tuples(st.integers(0, 5), st.integers(0, 5), st.integers(1, 3)))
+def test_line_poly_transpose_consistency(sa, sq):
+    a = LS((sa[0], sa[1]), (sa[2], sa[3]))
+    b = SQ(sq[0], sq[1], sq[2])
+    ab = relate_wkb(a, b)
+    ba = relate_wkb(b, a)
+    for p in ("intersects", "touches", "crosses", "equals", "disjoint"):
+        assert ab[p] == ba[p], (p, sa, sq, ab, ba)
+    assert ab["within"] == ba["contains"]
+    assert ab["contains"] == ba["within"]
+    assert not ab["contains"]  # a 1-D line never contains a 2-D polygon
