@@ -191,23 +191,47 @@ def q_fingerprint(spark, sf_dir):
     return TS.fingerprint(_docs(spark, sf_dir))
 
 
+# the dedup/simhash family all reads the same mutated corpus, and
+# simhash_pairs reuses simhash's signature scan — share the persisted
+# intermediates per (application, sf_dir), same posture as _POLY_SHARED
+_TEXT_SHARED: dict = {}
+
+
+def _text_shared(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _TEXT_SHARED if k[0] != key[0]]:
+        for df in _TEXT_SHARED.pop(stale):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    got = _TEXT_SHARED.get(key)
+    if got is None:
+        corpus = DD.corpus_df(spark, sf_dir).persist()
+        sigs = DD.simhash64(corpus).persist()
+        got = (corpus, sigs)
+        _TEXT_SHARED[key] = got
+    return got
+
+
 def q_dedup_exact(spark, sf_dir):
-    return DD.dedup_exact(DD.corpus_df(spark, sf_dir))
+    return DD.dedup_exact(_text_shared(spark, sf_dir)[0])
 
 
 def q_dedup_minhash(spark, sf_dir):
-    return DD.lsh_pairs(DD.corpus_df(spark, sf_dir))
+    return DD.lsh_pairs(_text_shared(spark, sf_dir)[0])
 
 
 def q_simhash(spark, sf_dir):
     """64-bit simhash signatures (two exact 32-bit halves)."""
-    return DD.simhash64(DD.corpus_df(spark, sf_dir))
+    return _text_shared(spark, sf_dir)[1]
 
 
 def q_simhash_pairs(spark, sf_dir):
     """Hamming<=3 near-dup pairs via 4x16-bit band probing (exact by
-    pigeonhole); oracle runs the quadratic scan."""
-    return DD.simhash_hamming_pairs(DD.corpus_df(spark, sf_dir))
+    pigeonhole); oracle runs the quadratic scan. Reuses the shared
+    persisted signature scan (the dominant cost)."""
+    return DD.simhash_hamming_pairs(sigs=_text_shared(spark, sf_dir)[1])
 
 
 def q_ann_brute(spark, sf_dir):
@@ -3309,6 +3333,9 @@ _CHANGED_SINCE_STAMP = frozenset({
     "overlay_clip", "overlay_symdiff", "overlay_identity",
     "overlay_update", "overlay_fishnet", "contour_polys",
     "zone_predicates",
+    # r4 shared text fixtures: corpus+signature persist reused across
+    # the dedup/simhash family
+    "dedup_exact", "simhash", "simhash_pairs",
     # r4 warp rework: separable fast paths (near/bilinear/cubic +
     # matrix-product box resamplers) and the broadcast gather
     "warp_near", "warp_bilinear", "warp_cubic", "warp_average",

@@ -376,14 +376,19 @@ def simhash64_sql(rel: str = "corpus", text_col: str = "text") -> str:
 
 
 def simhash_hamming_pairs(
-    corpus: DataFrame, max_dist: int = 3, text_col: str = "text"
+    corpus: DataFrame | None = None,
+    max_dist: int = 3,
+    text_col: str = "text",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs at 64-bit hamming distance <= max_dist (<= 3 with
     the 4x16-bit bands: pigeonhole guarantees one exact band match).
     Output: id_a < id_b, hamming. The band join keys are 16-bit chunks,
     so bucket population ~ n/65536 per band value at uniform hash —
-    candidates scale linearly, not with n^2."""
-    s = simhash64(corpus, text_col).persist()
+    candidates scale linearly, not with n^2.  `sigs` lets callers reuse
+    an already-persisted simhash64 output (the signature scan dominates
+    the pair join's cost)."""
+    s = sigs if sigs is not None else simhash64(corpus, text_col).persist()
     bands = s.select(
         "doc_id", "sim_hi", "sim_lo",
         F.explode(
