@@ -1852,8 +1852,11 @@ def q_viewshed_row(spark, sf_dir):
     tie-free so the formulations agree exactly. Output: visible gx set
     of the observer row."""
     from gdal_spark.operators.viewshed_op import cumulative_viewshed
+    from gdal_spark.session import local_df
 
-    obs = spark.createDataFrame([(VIEWSHED_OX, VIEWSHED_OY)], "ox int, oy int")
+    # local_df -> LocalRelation: createDataFrame(list) plans as a
+    # pickled-RDD scan that costs a full job per broadcast/use
+    obs = local_df(spark, [(VIEWSHED_OX, VIEWSHED_OY)], "ox int, oy int")
     out = cumulative_viewshed(obs, _viewshed_dem())
     return out.filter(F.col("gy") == VIEWSHED_OY).select("gx").orderBy("gx")
 
@@ -2422,10 +2425,13 @@ def q_grid_linear(spark, sf_dir):
     hull is a known square (corner points included), so the oracle is
     the closed-form plane."""
     from gdal_spark.operators.gridding import grid_linear
+    from gdal_spark.session import local_df
 
     a, b, c = LINEAR_PLANE
-    corners = spark.createDataFrame(
-        [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)], "x double, y double"
+    corners = local_df(
+        spark,
+        [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)],
+        "x double, y double",
     )
     interior = spark.range(60).select(
         ((F.col("id") * 0.713 + 0.157) % 10.0).alias("x"),
@@ -3336,6 +3342,8 @@ _CHANGED_SINCE_STAMP = frozenset({
     # r4 shared text fixtures: corpus+signature persist reused across
     # the dedup/simhash family
     "dedup_exact", "simhash", "simhash_pairs",
+    # r4 fixture fast path (LocalRelation observers)
+    "viewshed_row",
     # r4 warp rework: separable fast paths (near/bilinear/cubic +
     # matrix-product box resamplers) and the broadcast gather
     "warp_near", "warp_bilinear", "warp_cubic", "warp_average",
