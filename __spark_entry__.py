@@ -3332,6 +3332,9 @@ def q_vector_sql(spark, sf_dir):
 # kernel's _face_point scanline fix (coincident-boundary hole bug) changes
 # every query routed through make_valid/boolean_op: geom.py, overlay.py,
 # contour_op.py, geomops.py consumers.
+# Semantic/kernel changes since the last green stamp — highest re-stamp
+# urgency (the r3 makevalid fix, the rewritten minhash, shared text
+# fixtures, fixture fast paths).
 _CHANGED_SINCE_STAMP = frozenset({
     "dedup_minhash",
     "geom_boolean", "make_valid", "cascaded_union", "geom_buffer_poly",
@@ -3339,13 +3342,15 @@ _CHANGED_SINCE_STAMP = frozenset({
     "overlay_clip", "overlay_symdiff", "overlay_identity",
     "overlay_update", "overlay_fishnet", "contour_polys",
     "zone_predicates",
-    # r4 shared text fixtures: corpus+signature persist reused across
-    # the dedup/simhash family
     "dedup_exact", "simhash", "simhash_pairs",
-    # r4 fixture fast path (LocalRelation observers)
-    "viewshed_row",
-    # r4 warp rework: separable fast paths (near/bilinear/cubic +
-    # matrix-product box resamplers) and the broadcast gather
+    "viewshed_row", "grid_linear",
+})
+
+# Changed since stamp but PROVEN byte-identical by dedicated tests
+# (tests/test_warp_separable.py: separable fast paths == generic path
+# bytes; broadcast gather == shuffle gather bytes) — re-stamp after the
+# semantic tier when window room remains.
+_CHANGED_BYTE_IDENTICAL = frozenset({
     "warp_near", "warp_bilinear", "warp_cubic", "warp_average",
     "warp_rms", "warp_sum", "warp_min", "warp_max", "warp_med",
     "warp_q1", "warp_q3", "warp_mode", "warp_cubicspline",
@@ -3396,8 +3401,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if k not in stamps:
             return (0, reg_pos[k])  # never stamped — front of the window
         if k in _CHANGED_SINCE_STAMP:
-            return (1, reg_pos[k])  # code moved after its stamp
-        return (2, stamps[k], reg_pos[k])  # oldest stamp refreshes first
+            return (1, reg_pos[k])  # semantics moved after its stamp
+        if k in _CHANGED_BYTE_IDENTICAL:
+            return (2, reg_pos[k])  # changed, byte-identity-tested
+        return (3, stamps[k], reg_pos[k])  # oldest stamp refreshes first
 
     return {name: _wrap(_QUERIES[name]) for name in sorted(names, key=_urgency)}
 
