@@ -477,21 +477,27 @@ def dedup_embeddings(
     from .similarity import _cos_expr, _mp_bucket_expr, _mp_pairs
 
     e = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    cand = None
-    for b in range(n_bands):
-        pairs = _mp_pairs(n_planes, dim, seed=421 + b)
-        eb = e.select(
-            "vid",
-            F.expr(_mp_bucket_expr("vec", pairs, False)).cast("long").alias("bucket"),
+    # all B band buckets in ONE exploded (band, bucket) key column ->
+    # a single self-equi-join replaces B separate joins + union (the
+    # candidate set is identical after distinct; the join key carries
+    # the band id so buckets never collide across bands)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(
+                _mp_bucket_expr("vec", _mp_pairs(n_planes, dim, seed=421 + b), False)
+            ).cast("long").alias("bucket"),
         )
-        c = (
-            eb.select(F.col("vid").alias("la"), "bucket")
-            .join(eb.select(F.col("vid").alias("lb"), "bucket"), "bucket")
-            .filter(F.col("la") < F.col("lb"))
-            .select("la", "lb")
-        )
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.distinct()
+        for b in range(n_bands)
+    ]
+    eb = e.select("vid", F.explode(F.array(*band_structs)).alias("bb"))
+    cand = (
+        eb.select(F.col("vid").alias("la"), "bb")
+        .join(eb.select(F.col("vid").alias("lb"), "bb"), "bb")
+        .filter(F.col("la") < F.col("lb"))
+        .select("la", "lb")
+        .distinct()
+    )
     edges = (
         cand.join(e.select(F.col("vid").alias("la"), F.col("vec").alias("veca")), "la")
         .join(e.select(F.col("vid").alias("lb"), F.col("vec").alias("vecb")), "lb")
