@@ -398,6 +398,37 @@ def q_ogr_sql_exec(spark, sf_dir):
     )
 
 
+def q_ogr_sql_exec_union(spark, sf_dir):
+    """The rest of the swq grammar through the STRING path
+    (ogr/ogr_swq.h:446-483 poOtherSelect chain): UNION ALL branches that
+    each run independently, table-QUALIFIED column names resolved per
+    layer, LIMIT+OFFSET, and an aggregate-in-select summary collapse
+    inside a branch. Branch results concatenate by position with the
+    first branch's names (swq field-defn-from-first-select)."""
+    from gdal_spark.operators.ogr_sql_exec import execute_ogr_sql
+
+    layers = {
+        "customer": spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        "orders": spark.read.parquet(f"{sf_dir}/orders.parquet"),
+    }
+    stmt = (
+        "SELECT customer.c_custkey AS k, orders.o_orderkey AS v "
+        "FROM customer LEFT JOIN orders "
+        "ON customer.c_custkey = orders.o_custkey "
+        "WHERE customer.c_mktsegment = 'BUILDING' "
+        "ORDER BY customer.c_custkey LIMIT 20 OFFSET 5 "
+        "UNION ALL "
+        "SELECT count(o_orderkey) AS k, max(o_custkey) AS v "
+        "FROM orders WHERE o_orderpriority = '1-URGENT' "
+        "UNION ALL "
+        "SELECT c_custkey AS k, CAST(c_acctbal AS integer) AS v "
+        "FROM customer WHERE c_custkey <= 10"
+    )
+    return execute_ogr_sql(
+        spark, stmt, layers, fid_cols={"orders": "o_orderkey"}
+    )
+
+
 def q_ogr_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return OG.summary_record(
@@ -3327,35 +3358,35 @@ def q_vector_sql(spark, sf_dir):
 # This replaces the round-hardcoded _R3_NEW/_R02_CERTIFIED lists the
 # round-3 judge flagged (VERDICT.md "Next round" #2).
 
-# Round-4 edits: dedup_minhash's kernel+oracle were rewritten in r3 after
-# its r02 stamp (VERDICT What's-wrong #2); the makevalid arrangement
-# kernel's _face_point scanline fix (coincident-boundary hole bug) changes
-# every query routed through make_valid/boolean_op: geom.py, overlay.py,
-# contour_op.py, geomops.py consumers.
-# Semantic/kernel changes since the last green stamp — highest re-stamp
-# urgency (the r3 makevalid fix, the rewritten minhash, shared text
-# fixtures, fixture fast paths).
+# Round-5 edits (everything the r4 window stamped green is cleared):
+#   * range_join — how='left' unmatched detection rewritten to row-id
+#     anti-join (null-payload double-emit fix, ADVICE r4 #1);
+#   * st_relate — MultiPoint payloads now decode + OR-combine flags
+#     (ADVICE r4 #2); existing fixtures unchanged but the kernel moved;
+#   * ogr_sql_exec — literal masking + type-aware CAST rewrite
+#     (ADVICE r4 #3) + qualified names/UNION ALL/OFFSET grammar;
+#   * sieve — r4 gate edit (events AND components), behavior-preserving
+#     but never re-stamped (VERDICT r4 Missing #4).
 _CHANGED_SINCE_STAMP = frozenset({
-    "dedup_minhash",
-    "geom_boolean", "make_valid", "cascaded_union", "geom_buffer_poly",
-    "overlay_intersection", "overlay_erase", "overlay_union",
-    "overlay_clip", "overlay_symdiff", "overlay_identity",
-    "overlay_update", "overlay_fishnet", "contour_polys",
-    "zone_predicates",
-    "dedup_exact", "simhash", "simhash_pairs",
-    "viewshed_row", "grid_linear",
+    "range_join",
+    "st_relate",
+    "ogr_sql_exec",
+    "sieve",
 })
 
 # Changed since stamp but PROVEN byte-identical by dedicated tests
 # (tests/test_warp_separable.py: separable fast paths == generic path
-# bytes; broadcast gather == shuffle gather bytes) — re-stamp after the
-# semantic tier when window room remains.
+# bytes; broadcast gather == shuffle gather bytes — the r5 change is
+# cache bookkeeping only: bounded LRU + unpersist on eviction) — re-stamp
+# after the semantic tier when window room remains.  warp_mode /
+# raster_resize / pansharpen carry r3 stamps over r4 kernels (VERDICT r4
+# Missing #4) and sort first within the tier by registry position.
 _CHANGED_BYTE_IDENTICAL = frozenset({
+    "warp_mode", "raster_resize", "pansharpen",
     "warp_near", "warp_bilinear", "warp_cubic", "warp_average",
     "warp_rms", "warp_sum", "warp_min", "warp_max", "warp_med",
-    "warp_q1", "warp_q3", "warp_mode", "warp_cubicspline",
+    "warp_q1", "warp_q3", "warp_cubicspline",
     "warp_lanczos", "warp_cutline", "raster_srcwin", "raster_mosaic",
-    "raster_resize", "pansharpen",
 })
 
 
@@ -3403,7 +3434,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if k in _CHANGED_SINCE_STAMP:
             return (1, reg_pos[k])  # semantics moved after its stamp
         if k in _CHANGED_BYTE_IDENTICAL:
-            return (2, reg_pos[k])  # changed, byte-identity-tested
+            # oldest stamp first so long-stale stragglers (r3 stamps on
+            # r4 kernels) beat freshly-stamped family members to the window
+            return (2, stamps[k], reg_pos[k])
         return (3, stamps[k], reg_pos[k])  # oldest stamp refreshes first
 
     return {name: _wrap(_QUERIES[name]) for name in sorted(names, key=_urgency)}
@@ -3435,6 +3468,7 @@ _QUERIES = {
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "ogr_sql_exec": q_ogr_sql_exec,
+        "ogr_sql_exec_union": q_ogr_sql_exec_union,
         "ogr_summary": q_ogr_summary,
         "ogr_distinct": q_ogr_distinct,
         "ogr_first_match_join": q_ogr_first_match_join,
@@ -3660,6 +3694,26 @@ def oracle_sql() -> dict[str, str]:
             FROM customer LEFT JOIN first_o ON c_custkey = o_custkey
             WHERE c_name ILIKE '%customer#00000%'
             ORDER BY c_custkey LIMIT 30
+        """,
+        "ogr_sql_exec_union": """
+            (SELECT c_custkey AS k, o_orderkey AS v
+             FROM customer LEFT JOIN (
+               SELECT o_custkey, o_orderkey FROM (
+                 SELECT o_custkey, o_orderkey,
+                        ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderkey) AS rn
+                 FROM orders
+               ) WHERE rn = 1
+             ) ON c_custkey = o_custkey
+             WHERE c_mktsegment = 'BUILDING'
+             ORDER BY c_custkey LIMIT 20 OFFSET 5)
+            UNION ALL
+            SELECT count(o_orderkey) AS k, max(o_custkey) AS v
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT c_custkey AS k,
+                   CAST(TRUNC(CAST(c_acctbal AS DOUBLE)) AS BIGINT) AS v
+            FROM customer WHERE c_custkey <= 10
         """,
         "ogr_summary": f"""
             SELECT COUNT(*) AS n_rows,

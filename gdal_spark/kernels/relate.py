@@ -366,30 +366,46 @@ def relate_wkb(buf_a: bytes, buf_b: bytes) -> dict:
         if ka == "A" and kb == "A":
             return _relate_AA(a, b)
         if ka == "P":
-            p = a
+            # a is an (N,2) array — a (multi)point's interior is the point
+            # set itself (boundary empty), so flags OR across members.
+            pts = a
             if kb == "P":
-                eq = _close(p, b)
-                return {"II": 0 if eq else -1, "IB": False, "BI": False,
-                        "BB": False, "IE": not eq, "BE": False,
-                        "EI": not eq, "EB": False}
+                def _in(p, arr):
+                    return any(_close(p, q) for q in arr)
+                shared = any(_in(p, b) for p in pts)
+                a_only = any(not _in(p, b) for p in pts)
+                b_only = any(not _in(q, pts) for q in b)
+                return {"II": 0 if shared else -1, "IB": False, "BI": False,
+                        "BB": False, "IE": a_only, "BE": False,
+                        "EI": b_only, "EB": False}
             if kb == "L":
                 segs = _segments(b)
                 bnd = _line_boundary(b)
-                on = _point_on_lines(p, segs)
-                at_b = on and _is_boundary(p, bnd)
-                return {"II": 0 if (on and not at_b) else -1,
-                        "IB": at_b, "BI": False, "BB": False,
-                        "IE": not on, "BE": False, "EI": True, "EB": True}
-            loc = _pip_polys(p, b)
-            return {"II": 0 if loc == "i" else -1, "IB": loc == "b",
-                    "BI": False, "BB": False, "IE": loc == "e",
+                ii = ib = ie = False
+                for p in pts:
+                    on = _point_on_lines(p, segs)
+                    at_b = on and _is_boundary(p, bnd)
+                    ii = ii or (on and not at_b)
+                    ib = ib or at_b
+                    ie = ie or (not on)
+                return {"II": 0 if ii else -1,
+                        "IB": ib, "BI": False, "BB": False,
+                        "IE": ie, "BE": False, "EI": True, "EB": True}
+            ii = ib = ie = False
+            for p in pts:
+                loc = _pip_polys(p, b)
+                ii = ii or loc == "i"
+                ib = ib or loc == "b"
+                ie = ie or loc == "e"
+            return {"II": 0 if ii else -1, "IB": ib,
+                    "BI": False, "BB": False, "IE": ie,
                     "BE": False, "EI": True, "EB": True}
         # kb == 'P': transpose of the P-first case
         return _transpose(flags(kb, b, ka, a))
 
     def payload(k, buf):
         if k == "P":
-            return W.decode_point(buf)
+            return W.decode_points(buf)
         if k == "L":
             return W.decode_linestrings(buf)
         return W.decode_polygons(buf)

@@ -68,8 +68,12 @@ def _xyz_to_face_uv(x, y, z):
 def _uv_to_st(u):
     """S2_QUADRATIC_PROJECTION UVtoST closed form."""
     u = np.asarray(u, dtype=np.float64)
+    # np.where evaluates BOTH branches; mask each sqrt argument so the
+    # discarded branch can't produce sqrt(<0) RuntimeWarnings for |u|>1/3
     return np.where(
-        u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u)
+        u >= 0,
+        0.5 * np.sqrt(np.maximum(1.0 + 3.0 * u, 0.0)),
+        1.0 - 0.5 * np.sqrt(np.maximum(1.0 - 3.0 * u, 0.0)),
     )
 
 

@@ -38,6 +38,15 @@ def point_wkb(x: float, y: float) -> bytes:
     return struct.pack("<BIdd", 1, WKB_POINT, float(x), float(y))
 
 
+def multipoint_wkb(pts) -> bytes:
+    """Encode a multipoint (sequence of (x, y)) as NDR WKB — members are
+    full point geometries, per OGRMultiPoint::exportToWkb."""
+    out = [struct.pack("<BII", 1, WKB_MULTIPOINT, len(pts))]
+    for x, y in pts:
+        out.append(point_wkb(x, y))
+    return b"".join(out)
+
+
 def polygon_wkb(rings) -> bytes:
     """Encode a polygon (list of rings, each a sequence of (x, y)) as NDR WKB.
 
@@ -125,6 +134,30 @@ def decode_point(buf: bytes):
         raise ValueError(f"not a WKB point: type {gtype}")
     x, y = struct.unpack_from(order + "dd", buf, off)
     return x, y
+
+
+def decode_points(buf: bytes):
+    """Decode WKB Point or MultiPoint -> (N, 2) float64 array.
+
+    MultiPoint members are full WKB point geometries (header + coords),
+    per OGC SFA / OGRMultiPoint::importFromWkb."""
+    order, gtype, off = _read_header(buf, 0)
+    if gtype == WKB_POINT:
+        x, y = struct.unpack_from(order + "dd", buf, off)
+        return np.array([[x, y]], dtype=np.float64)
+    if gtype == WKB_MULTIPOINT:
+        (n,) = struct.unpack_from(order + "I", buf, off)
+        off += 4
+        pts = []
+        for _ in range(n):
+            order2, gtype2, off = _read_header(buf, off)
+            if gtype2 != WKB_POINT:
+                raise ValueError(f"multipoint member type {gtype2}")
+            x, y = struct.unpack_from(order2 + "dd", buf, off)
+            off += 16
+            pts.append((x, y))
+        return np.asarray(pts, dtype=np.float64).reshape(len(pts), 2)
+    raise ValueError(f"not a WKB (multi)point: type {gtype}")
 
 
 def _decode_ring_block(buf: bytes, off: int, order: str):

@@ -129,7 +129,8 @@ def range_join(
     trades explode fan-out (long intervals -> many buckets) against
     candidate precision, exactly like the PIP cell grid; skewed keys
     fall to AQE skew-join handling.  how='left' keeps unmatched points
-    with null interval columns."""
+    with null interval columns (unmatched = by a unique per-row id, so
+    NULLs in point payload columns can't double-emit a matched row)."""
     icols = [c for c in intervals.columns if c not in (on,)]
     b0 = F.floor(_epoch_seconds(F.col(start_col)) / bucket_seconds).cast("long")
     b1 = F.floor(_epoch_seconds(F.col(end_col)) / bucket_seconds).cast("long")
@@ -138,6 +139,8 @@ def range_join(
         "_b",
         F.floor(_epoch_seconds(F.col(point_ts)) / bucket_seconds).cast("long"),
     )
+    if how == "left":
+        pt = pt.withColumn("_pid", F.monotonically_increasing_id())
     joined = pt.join(iv, [on, "_b"], "inner").filter(
         (F.col(point_ts) >= F.col(start_col))
         & (F.col(point_ts) <= F.col(end_col))
@@ -148,8 +151,8 @@ def range_join(
         raise ValueError(f"how must be inner or left, got {how!r}")
     matched = joined.drop("_b")
     missing = pt.drop("_b").join(
-        matched.select(*points.columns).distinct(), points.columns, "left_anti"
+        matched.select("_pid").distinct(), "_pid", "left_anti"
     )
     for c in icols:
         missing = missing.withColumn(c, F.lit(None).cast(intervals.schema[c].dataType))
-    return matched.unionByName(missing)
+    return matched.unionByName(missing).drop("_pid")

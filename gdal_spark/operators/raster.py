@@ -227,12 +227,23 @@ def raster_to_array(blocks: DataFrame, meta: RasterMeta) -> np.ndarray:
     return out
 
 
-_WARP_BCAST: dict = {}
+# LRU cache of collected mosaic broadcasts. Bounded: each entry can pin
+# up to SPARK_GRAFT_WARP_BCAST_MAX (256 MB default) on driver + executors,
+# so evicted entries are unpersist()ed (executor copies freed; the driver
+# can re-ship if a stale lazy plan re-executes — unlike destroy(), this
+# can't break a not-yet-run DataFrame that closed over the broadcast).
+# Keyed on (applicationId, plan semanticHash, shape): semanticHash does
+# NOT see external data changes, so a source table mutated in place under
+# the same plan must bump `cache_version` to avoid stale pixels.
+from collections import OrderedDict
+
+_WARP_BCAST: OrderedDict = OrderedDict()
+_WARP_BCAST_MAX_ENTRIES = 4
 
 
 def _warp_broadcast(
     src_blocks: DataFrame, src: RasterMeta, dst: RasterMeta,
-    resampling: str, packed: bool,
+    resampling: str, packed: bool, cache_version: object = None,
 ) -> DataFrame:
     """Small-raster gather: collect the block table once, broadcast the
     NATIVE-dtype mosaic, and compute every dst block straight from it in
@@ -255,17 +266,20 @@ def _warp_broadcast(
     # The mosaic broadcast is cached per (application, source plan):
     # repeated warps of the same block table (multi-resampler runs,
     # benchmark reps) pay collect+broadcast once.  Same immutability
-    # assumption as .persist() — the source table must not change under
-    # the same plan.
+    # assumption as .persist() — a source table mutated under the same
+    # plan must pass a new `cache_version`.
     key = (
         spark.sparkContext.applicationId,
         src_blocks.semanticHash(),
         (src.width, src.height, src.block),
+        cache_version,
     )
     for stale in [k for k in _WARP_BCAST if k[0] != key[0]]:
-        _WARP_BCAST.pop(stale, None)
+        old, _ = _WARP_BCAST.pop(stale)
+        old.unpersist(blocking=False)
     cached = _WARP_BCAST.get(key)
     if cached is not None:
+        _WARP_BCAST.move_to_end(key)
         bcast, tdt = cached
     else:
         rows = src_blocks.select("bx", "by", "w", "h", "block").collect()
@@ -295,6 +309,9 @@ def _warp_broadcast(
             mosaic[y0 : y0 + h, x0 : x0 + w] = arr
         bcast = spark.sparkContext.broadcast(mosaic)
         _WARP_BCAST[key] = (bcast, tdt)
+        while len(_WARP_BCAST) > _WARP_BCAST_MAX_ENTRIES:
+            _, (old, _t) = _WARP_BCAST.popitem(last=False)
+            old.unpersist(blocking=False)
 
     def warp_bcast(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mos = bcast.value
@@ -339,9 +356,14 @@ def warp(
     resampling: str = "near",
     group_factor: int | None = None,
     gather: str = "auto",
+    cache_version: object = None,
 ) -> DataFrame:
     """Warp a block raster onto the dst grid. Returns dst block rows in
     the same block form (array<double> or packed binary) as the input.
+
+    cache_version: opaque token mixed into the broadcast-mosaic cache
+    key — bump it when the source table's DATA changed under an
+    unchanged plan (the cache can't see external mutation).
 
     group_factor g coalesces g x g adjacent dst blocks into one gather
     group: adjacent dst blocks share most of their src windows, so the
@@ -364,7 +386,9 @@ def warp(
             "broadcast" if src.width * src.height * 8 <= limit else "shuffle"
         )
     if gather == "broadcast":
-        return _warp_broadcast(src_blocks, src, dst, resampling, packed)
+        return _warp_broadcast(
+            src_blocks, src, dst, resampling, packed, cache_version
+        )
 
     bs, sbs = dst.block, src.block
     src_gt, dst_gt = src.gt, dst.gt

@@ -131,3 +131,33 @@ def test_range_join_vs_quadratic(spark, frames):
     assert left.filter(F.col("iv_id").isNull()).count() == len(
         set(lp["event_id"]) - {e for e, _ in want}
     )
+
+
+def test_range_join_left_null_payload(spark):
+    """A matched point with a NULL payload column must appear exactly
+    once (the unmatched-detection anti-join is by row id, not by
+    null-unsafe column equality)."""
+    import pandas as pd
+    from gdal_spark.session import local_df
+    from gdal_spark.operators.asof import range_join
+
+    t = pd.Timestamp("2024-01-01 12:00:00")
+    pts = local_df(
+        spark,
+        [(1, 0, t, None), (2, 0, t + pd.Timedelta(days=30), "x"),
+         (3, 0, t, None)],
+        "pid int, k int, ts timestamp, payload string",
+    )
+    ivs = local_df(
+        spark,
+        [(0, 100, t - pd.Timedelta(hours=1), t + pd.Timedelta(hours=1))],
+        "k int, iv_id int, start_ts timestamp, end_ts timestamp",
+    )
+    out = range_join(pts, ivs, on="k", how="left").collect()
+    by_pid = {}
+    for r in out:
+        by_pid.setdefault(r["pid"], []).append(r)
+    assert len(by_pid[1]) == 1 and by_pid[1][0]["iv_id"] == 100
+    assert len(by_pid[3]) == 1 and by_pid[3][0]["iv_id"] == 100
+    assert len(by_pid[2]) == 1 and by_pid[2][0]["iv_id"] is None
+    assert len(out) == 3

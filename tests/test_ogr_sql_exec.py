@@ -162,3 +162,98 @@ def test_substr_cast_ilike(spark, layers):
     assert len(rows) == 1
     assert rows[0]["tail"] == "Ef"
     assert rows[0]["vi"] == -3  # truncation toward zero, not floor/round
+
+
+def test_union_all_chain(spark, layers):
+    """swq chained selects: branches run independently, concatenate by
+    position with the FIRST branch's field names."""
+    out = execute_ogr_sql(
+        spark,
+        "SELECT eas_id FROM poly WHERE eas_id < 160 "
+        "UNION ALL select eas_id from idlink where eas_id > 175 "
+        "UNION ALL SELECT eas_id FROM poly WHERE eas_id = 165",
+        layers,
+    )
+    assert out.columns == ["eas_id"]
+    assert sorted(_vals(out, "eas_id")) == [158, 165, 179]
+
+
+def test_union_all_positional_names(spark, layers):
+    # second branch's different column names fold into the first's
+    out = execute_ogr_sql(
+        spark,
+        "SELECT eas_id, prfedea FROM poly WHERE eas_id = 158 "
+        "UNION ALL SELECT eas_id, name FROM idlink WHERE eas_id = 179",
+        layers,
+    )
+    assert out.columns == ["eas_id", "prfedea"]
+    got = {(r["eas_id"], r["prfedea"]) for r in out.collect()}
+    assert got == {(158, "35043367"), (179, "_179_")}
+
+
+def test_table_qualified_columns(spark, layers):
+    out = execute_ogr_sql(
+        spark,
+        "SELECT poly.eas_id, idlink.name FROM poly "
+        "LEFT JOIN idlink ON poly.eas_id = idlink.eas_id "
+        "WHERE poly.eas_id in (158, 169) ORDER BY poly.eas_id",
+        layers,
+        fid_cols={"idlink": "fid"},
+    )
+    rows = out.collect()
+    assert [(r["eas_id"], r["name"]) for r in rows] == [
+        (158, "_158_"), (169, None),
+    ]
+
+
+def test_limit_offset(spark, layers):
+    out = execute_ogr_sql(
+        spark,
+        "SELECT eas_id FROM poly ORDER BY eas_id LIMIT 3 OFFSET 2",
+        layers,
+    )
+    assert _vals(out, "eas_id") == sorted(POLY_EAS)[2:5]
+    out = execute_ogr_sql(
+        spark, "SELECT eas_id FROM poly ORDER BY eas_id OFFSET 8", layers
+    )
+    assert _vals(out, "eas_id") == sorted(POLY_EAS)[8:]
+
+
+def test_cast_bigint_precision(spark):
+    """Integral sources cast directly: 2^53+1 survives (a DOUBLE
+    round-trip would round it); string sources still truncate."""
+    from gdal_spark.session import local_df
+
+    big = (1 << 53) + 1
+    t = local_df(spark, [(big, "12.7")], "v long, s string")
+    out = execute_ogr_sql(
+        spark,
+        "SELECT CAST(v AS bigint) AS vb, CAST(s AS integer) AS si FROM t",
+        {"t": t},
+    ).collect()
+    assert out[0]["vb"] == big
+    assert out[0]["si"] == 12
+
+
+def test_keywords_inside_string_literals(spark, layers):
+    """' ORDER ' / 'UNION ALL' inside literals must not split clauses."""
+    out = execute_ogr_sql(
+        spark,
+        "SELECT eas_id, ' ORDER BY x UNION ALL y' AS note FROM poly "
+        "WHERE prfedea <> 'no UNION ALL here' AND eas_id < 160",
+        layers,
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["note"] == " ORDER BY x UNION ALL y"
+
+
+def test_summary_union_branch(spark, layers):
+    """Aggregate-in-select collapse inside a UNION ALL branch."""
+    out = execute_ogr_sql(
+        spark,
+        "SELECT min(eas_id) AS v FROM poly "
+        "UNION ALL SELECT max(eas_id) AS v FROM idlink",
+        layers,
+    )
+    assert sorted(_vals(out, "v")) == [158, 179]

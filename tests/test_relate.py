@@ -207,3 +207,60 @@ def test_line_poly_transpose_consistency(sa, sq):
     assert ab["within"] == ba["contains"]
     assert ab["contains"] == ba["within"]
     assert not ab["contains"]  # a 1-D line never contains a 2-D polygon
+
+
+# ----------------------------------------------------------- MultiPoint
+
+def MP(*pts):
+    return W.multipoint_wkb(pts)
+
+
+def test_multipoint_vs_polygon():
+    # one member inside, one outside: intersects but neither within nor
+    # touches (interior reaches both sides)
+    _check(
+        MP((0.5, 0.5), (5, 5)), SQ(0, 0, 1),
+        intersects=True, within=False, touches=False, disjoint=False,
+    )
+    # all members inside -> within
+    _check(
+        MP((0.2, 0.2), (0.8, 0.8)), SQ(0, 0, 1),
+        within=True, intersects=True, touches=False,
+    )
+    # all members ON the boundary -> touches, not within
+    _check(
+        MP((0.5, 0), (1, 0.5)), SQ(0, 0, 1),
+        touches=True, intersects=True, within=False,
+    )
+    # transpose: polygon contains multipoint
+    _check(
+        SQ(0, 0, 1), MP((0.2, 0.2), (0.8, 0.8)),
+        contains=True, intersects=True,
+    )
+
+
+def test_multipoint_vs_multipoint():
+    _check(
+        MP((0, 0), (1, 1)), MP((1, 1), (2, 2)),
+        intersects=True, equals=False, within=False, overlaps=True,
+    )
+    _check(MP((0, 0), (1, 1)), MP((1, 1), (0, 0)), equals=True)
+    _check(MP((0, 0),), MP((1, 1),), disjoint=True)
+    # subset: within but not equals
+    _check(
+        MP((0, 0),), MP((0, 0), (1, 1)),
+        within=True, equals=False, intersects=True,
+    )
+
+
+def test_multipoint_vs_line():
+    # one member at line interior, one off the line
+    _check(
+        MP((1, 0), (5, 5)), LS((0, 0), (2, 0)),
+        intersects=True, within=False, touches=False,
+    )
+    # member at a line ENDPOINT only -> boundary contact -> touches
+    _check(
+        MP((0, 0), (5, 5)), LS((0, 0), (2, 0)),
+        touches=True, intersects=True,
+    )
