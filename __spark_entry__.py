@@ -429,6 +429,55 @@ def q_ogr_sql_exec_union(spark, sf_dir):
     )
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL multimodal decode (no codec libs needed): documents ids become
+    16x12 closed-form pixel patterns, encoded executor-side to actual PNG
+    (mixed row filters 0-4, exercising every unfilter path) or BMP
+    (kernels/codecs.py; same containers the reference reads via
+    frmts/png/pngdataset.cpp + frmts/bmp/bmpdataset.cpp), then decoded
+    back and reduced to integer channel sums + a 16-bin luminance
+    histogram. The oracle recomputes every pixel arithmetically from the
+    pattern — it never runs a codec — so any byte error anywhere in
+    encode/decode changes the result."""
+    from gdal_spark.operators import multimodal as MM
+
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 3 != 2))
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    media = MM.encode_media(ids, width=16, height=12)
+    feats = MM.image_features(media)
+    return (
+        feats.select(
+            "media_id",
+            "sum_r",
+            "sum_g",
+            "sum_b",
+            F.posexplode("hist").alias("bin", "n_pix"),
+        )
+        .where(F.col("n_pix") > 0)
+        .select("media_id", "bin", "n_pix", "sum_r", "sum_g", "sum_b")
+    )
+
+
+def q_multimodal_audio(spark, sf_dir):
+    """16-bit PCM WAV round trip: closed-form interleaved stereo samples
+    encoded to real RIFF/WAVE executor-side, decoded back
+    (kernels/codecs.py, cross-checked against stdlib `wave` in
+    tests/test_codecs.py), reduced to per-channel integer stats. Oracle
+    recomputes the samples arithmetically."""
+    from gdal_spark.operators import multimodal as MM
+
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") * 3 + 2).alias("media_id"))
+    )
+    media = MM.encode_media(ids, n_frames=256, channels=2)
+    return MM.audio_features(media)
+
+
 def q_ogr_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return OG.summary_record(
@@ -3469,6 +3518,8 @@ _QUERIES = {
         "range_join": q_range_join,
         "ogr_sql_exec": q_ogr_sql_exec,
         "ogr_sql_exec_union": q_ogr_sql_exec_union,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_audio": q_multimodal_audio,
         "ogr_summary": q_ogr_summary,
         "ogr_distinct": q_ogr_distinct,
         "ogr_first_match_join": q_ogr_first_match_join,
@@ -3714,6 +3765,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS k,
                    CAST(TRUNC(CAST(c_acctbal AS DOUBLE)) AS BIGINT) AS v
             FROM customer WHERE c_custkey <= 10
+        """,
+        # codec-free re-derivation: every pixel byte at flat offset f of
+        # image media_id is (media_id*31 + f) mod 256 (multimodal.pattern_rgb);
+        # 16x12 image -> 192 pixels. Bin math mirrors image_features exactly:
+        # lum = (r+g+b)/3.0 (one f64 divide), bin = min(floor(lum/16), 15).
+        "multimodal_decode": """
+            WITH ids AS (
+              SELECT doc_id AS media_id FROM documents
+              WHERE doc_id % 5 = 0 AND doc_id % 3 <> 2
+            ),
+            rgb AS (
+              SELECT media_id,
+                     (media_id*31 + t.p*3 + 0) % 256 AS r,
+                     (media_id*31 + t.p*3 + 1) % 256 AS g,
+                     (media_id*31 + t.p*3 + 2) % 256 AS b
+              FROM ids, range(0, 192) t(p)
+            ),
+            sums AS (
+              SELECT media_id,
+                     CAST(SUM(r) AS BIGINT) AS sum_r,
+                     CAST(SUM(g) AS BIGINT) AS sum_g,
+                     CAST(SUM(b) AS BIGINT) AS sum_b
+              FROM rgb GROUP BY media_id
+            ),
+            hist AS (
+              SELECT media_id,
+                     CAST(LEAST(CAST(FLOOR(((r+g+b)/3.0) / 16.0) AS BIGINT),
+                                15) AS INTEGER) AS bin,
+                     COUNT(*) AS n_pix
+              FROM rgb GROUP BY 1, 2
+            )
+            SELECT h.media_id, h.bin, h.n_pix, s.sum_r, s.sum_g, s.sum_b
+            FROM hist h JOIN sums s USING (media_id)
+        """,
+        # interleaved stereo int16 value i of clip media_id is
+        # ((media_id*7919 + i*31) mod 4001) - 2000 (multimodal.pattern_pcm);
+        # 256 frames x 2 channels, channel = i mod 2.
+        "multimodal_audio": """
+            WITH ids AS (
+              SELECT doc_id*3 + 2 AS media_id FROM documents
+              WHERE doc_id % 7 = 0
+            ),
+            s AS (
+              SELECT media_id, t.i % 2 AS ch,
+                     ((media_id*7919 + t.i*31) % 4001) - 2000 AS v
+              FROM ids, range(0, 512) t(i)
+            )
+            SELECT media_id, CAST(ch AS INTEGER) AS channel,
+                   COUNT(*) AS n_samp,
+                   CAST(SUM(v) AS BIGINT) AS sum_v,
+                   CAST(SUM(v*v) AS BIGINT) AS sum_sq,
+                   CAST(MIN(v) AS BIGINT) AS min_v,
+                   CAST(MAX(v) AS BIGINT) AS max_v,
+                   CAST(16000 AS INTEGER) AS sample_rate
+            FROM s GROUP BY media_id, ch
         """,
         "ogr_summary": f"""
             SELECT COUNT(*) AS n_rows,

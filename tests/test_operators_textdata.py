@@ -83,15 +83,32 @@ def test_fingerprint_identifies_exact_dups(corpus):
         assert fp[d] == fp[d - 2_000_000]
 
 
-def test_multimodal_plumbing(spark):
+def test_multimodal_real_decode(spark):
+    import numpy as np
+
+    from gdal_spark.kernels import codecs
+
     media = MM.synth_media(spark, 30)
-    feats = MM.image_features(media).collect()
-    assert len(feats) == 10  # every 3rd is an image
-    for r in feats:
-        assert len(r["hist"]) == 16
-        assert sum(r["hist"]) == 32 * 24
+    feats = {r["media_id"]: r for r in MM.image_features(media).collect()}
+    assert len(feats) == 20  # ids %3 in (0,1) are images (PNG + BMP)
+    for mid, r in feats.items():
+        px = MM.pattern_rgb(mid, 32, 24).astype(np.int64)
+        assert len(r["hist"]) == 16 and sum(r["hist"]) == 32 * 24
+        assert [r["sum_r"], r["sum_g"], r["sum_b"]] == list(
+            px.reshape(-1, 3).sum(axis=0)
+        )
+    auds = {r["media_id"]: r for r in MM.audio_features(media).collect() if r["channel"] == 0}
+    assert len(auds) == 10
+    for mid, r in auds.items():
+        pcm = MM.pattern_pcm(mid, 256, 2).astype(np.int64)
+        assert r["sum_v"] == pcm[:, 0].sum() and r["n_samp"] == 256
+        assert r["sample_rate"] == 16000
     resized = MM.resize_images(media, 8, 6).collect()
-    assert len(resized) == 10
+    assert len(resized) == 20
     for r in resized:
         assert r["meta"]["width"] == 8 and r["meta"]["height"] == 6
-        assert len(bytes(r["payload"])) == 8 * 6 * 3
+        out = codecs.decode_image(bytes(r["payload"]))  # payload is real PNG
+        src = MM.pattern_rgb(r["media_id"], 32, 24)
+        yi = np.arange(6) * 24 // 6
+        xi = np.arange(8) * 32 // 8
+        assert np.array_equal(out, src[yi][:, xi])
