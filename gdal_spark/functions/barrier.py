@@ -21,9 +21,17 @@ def once(col: Column) -> Column:
 
 def cheap_once(col: Column) -> Column:
     """Same anti-inlining barrier at near-zero per-row cost:
-    `CASE WHEN rand() >= -1 THEN col END` is always-true but flagged
-    nondeterministic, and rand() stays inside whole-stage codegen (the
-    shuffle(array(col)) form allocates an array per row — measured 6x on
-    a 1M-row scan). Marks the column nullable; use `once` where the
-    stricter single-evaluation placement of a FILTER is the point."""
-    return F.when(F.rand(7) >= F.lit(-1.0), col)
+    `CASE WHEN spark_partition_id() >= -1 THEN col END` is always-true
+    but flagged nondeterministic, and stays inside whole-stage codegen
+    (the shuffle(array(col)) form allocates an array per row — measured
+    6x on a 1M-row scan). Marks the column nullable; use `once` where
+    the stricter single-evaluation placement of a FILTER is the point.
+
+    The earlier `rand(7) >= -1.0` form is ELIMINATED by Spark 4.1's
+    optimizer (a range-based comparison fold on Rand) — the barrier
+    silently vanished and hex_cell's cube-rounding re-inlined the
+    mercator subtrees ~9x, blowing generated methods past the JVM's
+    hard 64KB limit (janino fail -> interpreted fallback; found by
+    tools/janino_hunt.py). spark_partition_id() comparisons survive
+    (pinned by tests/test_plans.py::test_cheap_once_survives_optimizer)."""
+    return F.when(F.spark_partition_id() >= F.lit(-1), col)

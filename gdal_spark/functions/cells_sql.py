@@ -40,15 +40,23 @@ def _axial_round_cols(qf: Column, rf: Column):
 def hex_cell(lat: Column, lon: Column, res: int, barrier: bool = True) -> Column:
     """lat/lon Columns -> int64 hex cell id at res. NULL-safe (NULL in/out).
 
-    barrier=True (default) wraps the axial coordinates in
-    functions/barrier.cheap_once: the cube-rounding CASE tree references
-    qf/rf ~9 times, and when lat/lon are themselves derived expressions
-    CollapseProject inlines the whole derivation into every reference —
-    measured >64KB of generated code (Janino bails to the interpreter,
-    +3s per query). cheap_once blocks that inlining while staying inside
-    codegen (the shuffle(array()) form of `once` allocates an array per
-    row — measured 6x slower on a 1M-row scan; single-evaluation FILTER
-    placement isn't needed here, just anti-inlining)."""
+    Codegen shape (rederived with tools/janino_hunt.py after Spark 4.1's
+    optimizer started folding the old `rand() >= -1` barrier away):
+
+      * the INTERNALS stay fully DETERMINISTIC — the cube-rounding CASE
+        references the qf/rf mercator subtrees ~9 times, and codegen
+        subexpression elimination dedups identical deterministic
+        subtrees into one helper method. A nondeterministic barrier
+        around qf/rf (the old design) EXCLUDES them from that dedup: 9
+        un-dedupable copies per cell, >64KB generated methods, janino
+        fails, the stage runs interpreted (10-20x).
+      * barrier=True (default) wraps the WHOLE cell id in cheap_once
+        instead: one nondeterministic node around one deduped
+        deterministic tree. That still (a) stops CollapseProject from
+        inlining the tree into every downstream consumer and (b) cuts
+        whole-stage fusion so the cell projection compiles as its own
+        method instead of growing a join/aggregate stage's processNext
+        past 64KB (the knn_cells failure mode)."""
     from .barrier import cheap_once
 
     s = float(SIZES[res])
@@ -56,15 +64,26 @@ def hex_cell(lat: Column, lon: Column, res: int, barrier: bool = True) -> Column
     my = mercator_y(clip_lat(lat))
     qf = (F.lit(float(SQRT3) / 3.0) * mx - my / F.lit(3.0)) / F.lit(s)
     rf = (F.lit(2.0 / 3.0) * my) / F.lit(s)
-    if barrier:
-        qf, rf = cheap_once(qf), cheap_once(rf)
     q, r = _axial_round_cols(qf, rf)
     # pack(res, q, r): fields are disjoint powers of two, so | == +
-    return F.lit(res * (1 << 56)).cast("long") + (q + F.lit(_OFF)) * F.lit(1 << 28) + (r + F.lit(_OFF))
+    cell = F.lit(res * (1 << 56)).cast("long") + (q + F.lit(_OFF)) * F.lit(1 << 28) + (r + F.lit(_OFF))
+    return cheap_once(cell) if barrier else cell
 
 
 def with_hex_cells(df, lat_col: str = "lat", lon_col: str = "lon", resolutions=(7, 8, 9, 10)):
-    """Add hex_r{res} columns for each res — the pages indexing step."""
-    for res in resolutions:
-        df = df.withColumn(f"hex_r{res}", hex_cell(F.col(lat_col), F.col(lon_col), res))
-    return df
+    """Add hex_r{res} columns for each res — the pages indexing step.
+
+    barrier=False: this IS the staging projection (consumers read the
+    materialized columns), and deterministic trees let codegen
+    subexpression elimination dedup the repeated qf/rf subtrees — four
+    barriered CASE branches are excluded from that dedup and overflow
+    the 64KB method limit (janino fallback; tools/janino_hunt.py)."""
+    return df.select(
+        "*",
+        *[
+            hex_cell(F.col(lat_col), F.col(lon_col), res, barrier=False).alias(
+                f"hex_r{res}"
+            )
+            for res in resolutions
+        ],
+    )

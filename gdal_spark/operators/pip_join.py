@@ -409,12 +409,17 @@ def hot_cell_salts(
     p = pages.filter(F.col(lat_col).isNotNull())
     if sample:
         p = p.sample(fraction=sample, seed=42)
+    # stage cell ids before the explode (same 64KB generate_doConsume
+    # reasoning as pip_join_bucketed)
+    lad = [f"_hexl{r}" for r in res_list]
     hist = (
         p.select(
-            F.explode(
-                F.array(*[hex_cell(F.col(lat_col), F.col(lon_col), r) for r in res_list])
-            ).alias("cell")
+            *[
+                hex_cell(F.col(lat_col), F.col(lon_col), r, barrier=False).alias(c)
+                for r, c in zip(res_list, lad)
+            ]
         )
+        .select(F.explode(F.array(*lad)).alias("cell"))
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -452,11 +457,29 @@ def pip_join_bucketed(
     zc = zone_cells(_with_polys(zones) if refine == "sql" else zones, res)
     p = pages.filter(F.col(lat_col).isNotNull())
     if res is None:
-        p = p.withColumn(
-            "cell",
-            F.explode(
-                F.array(*[hex_cell(F.col(lat_col), F.col(lon_col), r) for r in LADDER])
-            ),
+        # stage the ladder cell ids as PROJECTED COLUMNS before the
+        # explode: everything downstream of a Generate fuses into one
+        # generate_doConsume method that Spark cannot split, and three
+        # inlined hex trees push it past the JVM's hard 64KB method
+        # limit — janino fails and the whole stage runs interpreted
+        # (found by tools/janino_hunt.py; the staged Project compiles
+        # into its own splittable method and the Generate reads 3 longs)
+        lad = [f"_hexl{r}" for r in LADDER]
+        p = (
+            p.select(
+                "*",
+                *[
+                    # barrier=False: the staged Project is itself the
+                    # anti-fusion boundary here, and deterministic trees
+                    # let codegen subexpression elimination dedup the
+                    # repeated qf/rf subtrees (a barriered CASE branch
+                    # is excluded from that dedup and overflows 64KB)
+                    hex_cell(F.col(lat_col), F.col(lon_col), r, barrier=False).alias(c)
+                    for r, c in zip(LADDER, lad)
+                ],
+            )
+            .withColumn("cell", F.explode(F.array(*lad)))
+            .drop(*lad)
         )
     else:
         p = p.withColumn("cell", hex_cell(F.col(lat_col), F.col(lon_col), res))

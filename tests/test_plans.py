@@ -115,3 +115,72 @@ def test_warp_single_data_exchange(spark):
     # a range skeleton straight into one python stage
     plan_b = plan_of(R.warp(blocks, src, dst, "near", gather="broadcast"))
     assert not re.search(r"\bExchange\b", plan_b), plan_b
+
+
+def test_cheap_once_survives_optimizer(spark):
+    """The anti-inlining barrier must not be optimized away: Spark 4.1
+    folds `rand(7) >= -1.0` comparisons (the old cheap_once form) out of
+    the plan entirely, which silently re-inlined hex_cell's mercator
+    subtrees ~9x and pushed generated methods past the JVM's 64KB limit
+    (janino fail -> interpreted). Pin the current form's survival."""
+    from gdal_spark.functions.barrier import cheap_once
+
+    df = spark.range(10).select((F.col("id") * 1.0).alias("x"))
+    out = df.select(cheap_once(F.col("x") * 3.0 + 1.0).alias("y"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan, plan
+
+
+def test_ladder_explode_is_staged(spark, sf_dir):
+    """pip_join_bucketed res=None: the 3 ladder cell ids must be staged
+    as projected columns BEFORE the explode — Generate fuses everything
+    downstream into one unsplittable generate_doConsume method, and three
+    inlined hex trees exceed the 64KB method limit (janino fallback).
+    The Generate node must therefore not contain the mercator math."""
+    from gdal_spark.operators.pip_join import pip_join_bucketed
+
+    p = pages_from_documents(spark, sf_dir, keep_internal=True)
+    plan = plan_of(pip_join_bucketed(p, zones_df(spark)))
+    gen_lines = [ln for ln in plan.splitlines() if "Generate explode" in ln]
+    assert gen_lines, plan
+    for ln in gen_lines:
+        assert "TAN(" not in ln and "ln(" not in ln.lower(), ln[:400]
+
+
+def test_simhash_pairs_no_cross_product(spark, sf_dir):
+    """simhash banding meets candidates through equi-joins only — any
+    CartesianProduct/BroadcastNestedLoop means the banding regressed to
+    an all-pairs scan (quadratic at corpus scale)."""
+    from gdal_spark.operators import dedup as DD
+
+    corpus = DD.corpus_df(spark, sf_dir)
+    pairs = DD.simhash_hamming_pairs(corpus=corpus)
+    plan = plan_of(pairs)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_minhash_lsh_no_cross_product(spark, sf_dir):
+    """MinHash LSH candidates come from band-bucket equi-joins plus the
+    two narrow Jaccard join-backs — never a cross product."""
+    from gdal_spark.operators import dedup as DD
+
+    corpus = DD.corpus_df(spark, sf_dir)
+    pairs = DD.lsh_pairs(corpus)
+    plan = plan_of(pairs)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ann_ivf_corpus_side_no_shuffle(spark, sf_dir):
+    """IVF assignment is a scan-side codegen argmax: the corpus never
+    shuffles before the probed-list join (broadcast exchanges of the
+    tiny query/centroid tables are fine)."""
+    import re
+
+    from gdal_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = SIM.ann_ivf(emb, SIM.queries_subset(emb), k=5)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan, plan
