@@ -3415,12 +3415,17 @@ def q_vector_sql(spark, sf_dir):
 #   * ogr_sql_exec — literal masking + type-aware CAST rewrite
 #     (ADVICE r4 #3) + qualified names/UNION ALL/OFFSET grammar;
 #   * sieve — r4 gate edit (events AND components), behavior-preserving
-#     but never re-stamped (VERDICT r4 Missing #4).
+#     but never re-stamped (VERDICT r4 Missing #4);
+#   * grid_linear — driver path rewritten onto the vectorized
+#     delaunay_np kernel + canonical-vertex tie-break + coincident-point
+#     dedup, and above driver_threshold the new distributed tile-local
+#     triangulation replaces the old hard error (VERDICT r4 #6).
 _CHANGED_SINCE_STAMP = frozenset({
     "range_join",
     "st_relate",
     "ogr_sql_exec",
     "sieve",
+    "grid_linear",
 })
 
 # Changed since stamp but PROVEN byte-identical by dedicated tests
@@ -3430,12 +3435,18 @@ _CHANGED_SINCE_STAMP = frozenset({
 # after the semantic tier when window room remains.  warp_mode /
 # raster_resize / pansharpen carry r3 stamps over r4 kernels (VERDICT r4
 # Missing #4) and sort first within the tier by registry position.
+#   r5 additions: the hex_cell codegen restructure (barrier moved from
+#   qf/rf to the whole cell id; staging projections before explodes —
+#   the janino 64KB fix) changes PLANS, not values: cell ids are pinned
+#   against the numpy kernel by tests, and the affected queries' plans
+#   by tests/test_plans.py.
 _CHANGED_BYTE_IDENTICAL = frozenset({
     "warp_mode", "raster_resize", "pansharpen",
     "warp_near", "warp_bilinear", "warp_cubic", "warp_average",
     "warp_rms", "warp_sum", "warp_min", "warp_max", "warp_med",
     "warp_q1", "warp_q3", "warp_cubicspline",
     "warp_lanczos", "warp_cutline", "raster_srcwin", "raster_mosaic",
+    "hex_index", "pip_bucketed", "pip_salted", "knn_cells",
 })
 
 

@@ -117,47 +117,152 @@ def grid_linear(
     points: DataFrame, x0, y0, dx, dy, nx, ny,
     x_col: str = "x", y_col: str = "y", v_col: str = "v",
     driver_threshold: int = 100_000,
+    target_per_tile: int = 3000,
 ) -> DataFrame:
     """Linear (Delaunay TIN) interpolation, GDALGridLinear semantics
-    (alg/gdalgrid.cpp:2459): triangulate the points (driver-side
-    Bowyer-Watson — the point table is the small side, same compile
-    pattern as zones), broadcast the triangle table, locate each grid
-    node via a bbox-gated broadcast join + barycentric containment, and
-    interpolate the three vertex values. Nodes outside the convex hull
-    are omitted (the reference writes nodata). Output: (ix, iy, value).
+    (alg/gdalgrid.cpp:2459): triangulate the points, locate each grid
+    node in its triangle via a bbox-gated join + barycentric
+    containment, and interpolate the three vertex values. Nodes outside
+    the convex hull are omitted (the reference writes nodata).
+    Output: (ix, iy, value).
+
+    Point sets <= driver_threshold triangulate driver-side (one
+    vectorized Bowyer-Watson, broadcast triangle table — the zone-compile
+    pattern). Larger sets use the DISTRIBUTED tile-local triangulation
+    (`triangulate_tiled`): the result is the same exact global Delaunay
+    triangulation, so there is no upper size limit (the pre-r5 version
+    raised above the threshold).
+
+    Degenerate tie-breaks: 4+ exactly-cocircular points admit several
+    valid Delaunay diagonals; the two paths (and the reference's qhull)
+    may pick different ones, which changes interpolated values strictly
+    inside such quads. Unique for points in general position.
     """
-    rows = points.select(x_col, y_col, v_col).limit(driver_threshold + 1).collect()
-    if len(rows) > driver_threshold:
-        raise ValueError(
-            f"grid_linear: > {driver_threshold} points; driver-side "
-            "triangulation is the supported path (reference uses a global "
-            "qhull triangulation too)"
+    pts = (
+        points.select(
+            F.col(x_col).cast("double").alias("px"),
+            F.col(y_col).cast("double").alias("py"),
+            F.col(v_col).cast("double").alias("pv"),
         )
-    from ..kernels.delaunay import delaunay
+        # coincident duplicates break Bowyer-Watson (the duplicate's
+        # cavity is degenerate); keep the min value deterministically
+        .groupBy("px", "py")
+        .agg(F.min("pv").alias("pv"))
+    )
+    head = pts.limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
+        tdf = _triangulate_driver(points.sparkSession, head)
+    else:
+        tdf = triangulate_tiled(pts, target_per_tile=target_per_tile)
+    return _interp_nodes(points.sparkSession, tdf, x0, y0, dx, dy, nx, ny)
+
+
+def _triangulate_driver(spark, rows) -> DataFrame:
+    """Driver-side triangulation of collected (px, py, pv) rows ->
+    broadcastable triangle table (same schema as triangulate_tiled)."""
+    import numpy as np
+
+    from ..kernels.delaunay import delaunay_np
     from ..session import local_df
 
-    pts = [(float(r[x_col]), float(r[y_col])) for r in rows]
-    vals = [float(r[v_col]) for r in rows]
-    tris = delaunay(pts)
-    trows = []
-    for ti, (a, b, c) in enumerate(tris):
-        (x1, y1), (x2, y2), (x3, y3) = pts[a], pts[b], pts[c]
-        trows.append(
-            (ti, x1, y1, vals[a], x2, y2, vals[b], x3, y3, vals[c],
-             min(x1, x2, x3), min(y1, y2, y3), max(x1, x2, x3), max(y1, y2, y3))
+    xs = np.array([r["px"] for r in rows])
+    ys = np.array([r["py"] for r in rows])
+    vs = np.array([r["pv"] for r in rows])
+    tri, _, _, _ = delaunay_np(xs, ys)
+    trows = [
+        _canon_tri(xs[t], ys[t], vs[t]) for t in tri
+    ]
+    return local_df(spark, trows, _TRI_DDL)
+
+
+def _canon_tri(txs, tys, tvs):
+    """Canonical (x,y)-sorted vertex order so the same triangle gets the
+    same row regardless of which path / tile / insertion order built it
+    (cross-tile dedup and the tiled==driver equality tests key on it)."""
+    order = sorted(range(3), key=lambda i: (txs[i], tys[i]))
+    out = []
+    for i in order:
+        out += [float(txs[i]), float(tys[i]), float(tvs[i])]
+    return tuple(out)
+
+
+_TRI_DDL = (
+    "x1 double, y1 double, v1 double, x2 double, y2 double, v2 double, "
+    "x3 double, y3 double, v3 double"
+)
+
+
+def _interp_nodes(
+    spark, tdf: DataFrame, x0, y0, dx, dy, nx, ny,
+    broadcast_threshold: int = 500_000, node_block: int = 256,
+) -> DataFrame:
+    """Locate grid nodes in triangles and interpolate barycentrically.
+
+    Small triangle tables broadcast against the node grid (bbox theta
+    join). Large ones bucket BOTH sides by node-index block: each
+    triangle explodes to the blocks its bbox covers (local triangles ->
+    tiny fan-out) and meets its nodes through one hash equi-join — no
+    cross product at any size."""
+    tdf = tdf.withColumn("bminx", F.least("x1", "x2", "x3")).withColumn(
+        "bminy", F.least("y1", "y2", "y3")
+    ).withColumn("bmaxx", F.greatest("x1", "x2", "x3")).withColumn(
+        "bmaxy", F.greatest("y1", "y2", "y3")
+    )
+    nodes = _node_grid(spark, x0, y0, dx, dy, nx, ny)
+    n_tris = tdf.limit(broadcast_threshold + 1).count()
+    if n_tris <= broadcast_threshold:
+        cond = (
+            (F.col("nx_") >= F.col("bminx")) & (F.col("nx_") <= F.col("bmaxx"))
+            & (F.col("ny_") >= F.col("bminy")) & (F.col("ny_") <= F.col("bmaxy"))
         )
-    tdf = local_df(
-        points.sparkSession, trows,
-        "tri_id int, x1 double, y1 double, v1 double, x2 double, y2 double, "
-        "v2 double, x3 double, y3 double, v3 double, "
-        "bminx double, bminy double, bmaxx double, bmaxy double",
-    )
-    nodes = _node_grid(points.sparkSession, x0, y0, dx, dy, nx, ny)
-    cond = (
-        (F.col("nx_") >= F.col("bminx")) & (F.col("nx_") <= F.col("bmaxx"))
-        & (F.col("ny_") >= F.col("bminy")) & (F.col("ny_") <= F.col("bmaxy"))
-    )
-    j = nodes.join(F.broadcast(tdf), cond)
+        j = nodes.join(F.broadcast(tdf), cond)
+    else:
+        # node-index range covered by the triangle bbox -> block range
+        # (sign-agnostic in dx/dy: take least/greatest of the two ends)
+        ixa = (F.col("bminx") - F.lit(float(x0))) / F.lit(float(dx))
+        ixb = (F.col("bmaxx") - F.lit(float(x0))) / F.lit(float(dx))
+        iya = (F.col("bminy") - F.lit(float(y0))) / F.lit(float(dy))
+        iyb = (F.col("bmaxy") - F.lit(float(y0))) / F.lit(float(dy))
+        bix0, bix1 = F.ceil(F.least(ixa, ixb)), F.floor(F.greatest(ixa, ixb))
+        biy0, biy1 = F.ceil(F.least(iya, iyb)), F.floor(F.greatest(iya, iyb))
+        B = int(node_block)
+        t = (
+            tdf.withColumn("_bx0", F.greatest(bix0, F.lit(0)).cast("long"))
+            .withColumn("_bx1", F.least(bix1, F.lit(int(nx) - 1)).cast("long"))
+            .withColumn("_by0", F.greatest(biy0, F.lit(0)).cast("long"))
+            .withColumn("_by1", F.least(biy1, F.lit(int(ny) - 1)).cast("long"))
+            .filter((F.col("_bx0") <= F.col("_bx1")) & (F.col("_by0") <= F.col("_by1")))
+            .withColumn(
+                "blkx",
+                F.explode(
+                    F.sequence(
+                        (F.col("_bx0") / B).cast("long"),
+                        (F.col("_bx1") / B).cast("long"),
+                    )
+                ),
+            )
+            .withColumn(
+                "blky",
+                F.explode(
+                    F.sequence(
+                        (F.col("_by0") / B).cast("long"),
+                        (F.col("_by1") / B).cast("long"),
+                    )
+                ),
+            )
+            .drop("_bx0", "_bx1", "_by0", "_by1")
+        )
+        n = nodes.withColumn("blkx", (F.col("ix") / B).cast("long")).withColumn(
+            "blky", (F.col("iy") / B).cast("long")
+        )
+        j = (
+            n.join(t, ["blkx", "blky"])
+            .filter(
+                (F.col("nx_") >= F.col("bminx")) & (F.col("nx_") <= F.col("bmaxx"))
+                & (F.col("ny_") >= F.col("bminy")) & (F.col("ny_") <= F.col("bmaxy"))
+            )
+            .drop("blkx", "blky")
+        )
     det = (F.col("y2") - F.col("y3")) * (F.col("x1") - F.col("x3")) + (
         F.col("x3") - F.col("x2")
     ) * (F.col("y1") - F.col("y3"))
@@ -173,13 +278,294 @@ def grid_linear(
     inside = (l1 >= -1e-12) & (l2 >= -1e-12) & (l3 >= -1e-12)
     val = l1 * F.col("v1") + l2 * F.col("v2") + l3 * F.col("v3")
     # shared-edge nodes match 2 triangles with identical interpolated
-    # value; keep the lowest tri_id deterministically
+    # value; tie-break on the canonical vertex tuple deterministically
+    key = F.struct("x1", "y1", "x2", "y2", "x3", "y3")
     return (
         j.filter(inside)
         .withColumn("_val", val)
+        .withColumn("_key", key)
         .groupBy("ix", "iy")
-        .agg(F.min_by("_val", "tri_id").alias("value"))
+        .agg(F.min_by("_val", "_key").alias("value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Delaunay: tile-local Bowyer-Watson with halo certainty
+# ---------------------------------------------------------------------------
+
+def _hull_ccw(pts):
+    """Andrew monotone chain. pts: list[(x, y)] -> CCW hull vertex list
+    (collinear inputs give the 2-point 'hull'; <3 points pass through)."""
+    pts = sorted(set(pts))
+    if len(pts) < 3:
+        return pts
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(reversed(pts))
+    return lower[:-1] + upper[:-1]
+
+
+def _in_hull(p, hull, eps):
+    """p inside/on the CCW convex hull (2-point hulls only contain their
+    segment up to eps; <2 never contain)."""
+    if len(hull) < 3:
+        if len(hull) == 2:
+            (ax, ay), (bx, by) = hull
+            cross = (bx - ax) * (p[1] - ay) - (by - ay) * (p[0] - ax)
+            if abs(cross) > eps:
+                return False
+            dot = (p[0] - ax) * (bx - ax) + (p[1] - ay) * (by - ay)
+            return -eps <= dot <= (bx - ax) ** 2 + (by - ay) ** 2 + eps
+        return False
+    for i in range(len(hull)):
+        ax, ay = hull[i]
+        bx, by = hull[(i + 1) % len(hull)]
+        if (bx - ax) * (p[1] - ay) - (by - ay) * (p[0] - ax) < -eps:
+            return False
+    return True
+
+
+def _clip_hull_to_rect(hull, rx0, ry0, rx1, ry1):
+    """Sutherland-Hodgman: convex polygon ∩ axis rect -> vertex list.
+    Degenerate (<3 vertex) hulls clip their points/segment endpoints."""
+    if len(hull) < 3:
+        # degenerate (collinear/single) global hull: no triangles exist
+        # anywhere; keep only in-rect points for the coverage check
+        return [
+            (x, y) for x, y in hull if rx0 <= x <= rx1 and ry0 <= y <= ry1
+        ]
+    poly = list(hull)
+    # (axis, bound, keep_leq): clip against x>=rx0, x<=rx1, y>=ry0, y<=ry1
+    for axis, bound, keep_leq in (
+        (0, rx0, False), (0, rx1, True), (1, ry0, False), (1, ry1, True),
+    ):
+        if not poly:
+            return []
+        out = []
+        m = len(poly)
+        for i in range(m):
+            cur, nxt = poly[i], poly[(i + 1) % m]
+            ci = (cur[axis] <= bound) if keep_leq else (cur[axis] >= bound)
+            ni = (nxt[axis] <= bound) if keep_leq else (nxt[axis] >= bound)
+            if ci:
+                out.append(cur)
+            if ci != ni:
+                t = (bound - cur[axis]) / (nxt[axis] - cur[axis])
+                if axis == 0:
+                    out.append((bound, cur[1] + t * (nxt[1] - cur[1])))
+                else:
+                    out.append((cur[0] + t * (nxt[0] - cur[0]), bound))
+        poly = out
+    return poly
+
+
+def triangulate_tiled(
+    pts: DataFrame,
+    target_per_tile: int = 3000,
+    halo_factor: float = 0.25,
+    max_passes: int = 24,
+) -> DataFrame:
+    """EXACT global Delaunay triangulation, distributed.
+
+    pts: (px, py, pv) with coincident (px, py) already deduplicated.
+    Returns the triangle table (x1..v3, canonical vertex order) — the
+    same set `_triangulate_driver` produces (unique for points in
+    general position; cocircular ties may differ, as with qhull).
+
+    Scheme (the standard tile+halo construction):
+      * the domain bbox splits into g x g tiles sized for
+        ~target_per_tile points; each pass, every UNRESOLVED tile
+        triangulates all points inside its halo-expanded rect
+        (assignment = per-point tile-index-range explode + one
+        broadcast hash equi-join on tile key — no cross product);
+      * a local triangle whose circumdisk fits inside the halo rect
+        (per axis; a side where the halo already covers the global
+        bbox edge is vacuously contained — there are no points beyond
+        it) is CERTAIN: its disk is empty of ALL points, so it belongs
+        to the global triangulation. Certain triangles overlapping the
+        tile's own rect are emitted; cross-tile duplicates collapse on
+        the canonical vertex tuple.
+      * a tile is RESOLVED when every rect-overlapping local triangle
+        is certain AND rect ∩ CH(all points) ⊆ CH(local points) — the
+        hull condition catches sparse/empty tiles whose area a far-away
+        triangle covers (the global hull is exact after pass 0: it is
+        the hull of the union of per-tile local hulls). Unresolved
+        tiles re-run with doubled halo; a halo covering the whole bbox
+        resolves unconditionally, so termination is guaranteed in
+        O(log(bbox/halo0)) passes — worst case ONE tile re-triangulates
+        everything (executor-side), never an error.
+
+    Every global triangle overlapping a resolved tile's rect is provably
+    among that tile's certain triangles, so the union over the (exactly
+    tiling) rects is the complete triangulation.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    from ..kernels.delaunay import delaunay_np
+    from ..session import local_df
+
+    spark = pts.sparkSession
+    st = pts.agg(
+        F.min("px"), F.max("px"), F.min("py"), F.max("py"), F.count(F.lit(1))
+    ).first()
+    minx, maxx, miny, maxy, n = (
+        st[0], st[1], st[2], st[3], int(st[4] or 0)
+    )
+    empty = local_df(spark, [], _TRI_DDL)
+    if n < 3:
+        return empty
+    g = max(1, int(math.ceil(math.sqrt(n / float(target_per_tile)))))
+    tw = max((maxx - minx) / g, 1e-300)
+    th = max((maxy - miny) / g, 1e-300)
+    span = max(maxx - minx, maxy - miny, 1e-12)
+    eps = 1e-9 * span
+
+    schema = StructType(
+        [StructField("tkey", LongType()), StructField("kind", IntegerType())]
+        + [
+            StructField(c, DoubleType())
+            for c in ("x1", "y1", "v1", "x2", "y2", "v2", "x3", "y3", "v3")
+        ]
+    )
+
+    def make_fn(h):
+        def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            tkey = int(key[0])
+            i, j = tkey // g, tkey % g
+            rx0, ry0 = minx + i * tw, miny + j * th
+            rx1, ry1 = rx0 + tw, ry0 + th
+            hx0, hy0, hx1, hy1 = rx0 - h, ry0 - h, rx1 + h, ry1 + h
+            xs = pdf["px"].to_numpy()
+            ys = pdf["py"].to_numpy()
+            vs = pdf["pv"].to_numpy()
+            rows = []
+            uncertain_overlap = False
+            if len(xs) >= 3:
+                tri, ccx, ccy, cr2 = delaunay_np(xs, ys)
+                if len(tri):
+                    r = np.sqrt(cr2)
+                    # a side whose halo already covers the global bbox
+                    # edge is vacuously contained (no points beyond it)
+                    certain = (
+                        ((hx0 <= minx) | (ccx - r >= hx0))
+                        & ((hx1 > maxx) | (ccx + r < hx1))
+                        & ((hy0 <= miny) | (ccy - r >= hy0))
+                        & ((hy1 > maxy) | (ccy + r < hy1))
+                    )
+                    txs, tys, tvs = xs[tri], ys[tri], vs[tri]
+                    bminx, bmaxx = txs.min(1), txs.max(1)
+                    bminy, bmaxy = tys.min(1), tys.max(1)
+                    overlap = (
+                        (bmaxx >= rx0) & (bminx <= rx1)
+                        & (bmaxy >= ry0) & (bminy <= ry1)
+                    )
+                    uncertain_overlap = bool((overlap & ~certain).any())
+                    emit = np.nonzero(overlap & certain)[0]
+                    for t in emit:
+                        rows.append(
+                            (tkey, 1) + _canon_tri(txs[t], tys[t], tvs[t])
+                        )
+            # status row: x1 = 1.0 when an overlapping triangle is
+            # uncertain; hull vertex rows (kind=2) feed the driver's
+            # exact global hull + the tile's coverage check
+            rows.append(
+                (tkey, 0, 1.0 if uncertain_overlap else 0.0)
+                + (0.0,) * 8
+            )
+            for hx, hy in _hull_ccw(list(zip(xs.tolist(), ys.tolist()))):
+                rows.append((tkey, 2, float(hx), float(hy)) + (0.0,) * 7)
+            return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+        return fn
+
+    tri_cols = ["x1", "y1", "v1", "x2", "y2", "v2", "x3", "y3", "v3"]
+    h = halo_factor * max(tw, th)
+    unresolved = [i * g + j for i in range(g) for j in range(g)]
+    parts, outs = [], []
+    global_hull_pts: set = set()
+    for _ in range(max_passes):
+        keys_df = local_df(spark, [(k,) for k in unresolved], "tkey long")
+        ilo = F.greatest(
+            F.lit(0),
+            F.floor((F.col("px") - F.lit(minx) - F.lit(h)) / F.lit(tw)),
+        ).cast("long")
+        ihi = F.least(
+            F.lit(g - 1),
+            F.floor((F.col("px") - F.lit(minx) + F.lit(h)) / F.lit(tw)),
+        ).cast("long")
+        jlo = F.greatest(
+            F.lit(0),
+            F.floor((F.col("py") - F.lit(miny) - F.lit(h)) / F.lit(th)),
+        ).cast("long")
+        jhi = F.least(
+            F.lit(g - 1),
+            F.floor((F.col("py") - F.lit(miny) + F.lit(h)) / F.lit(th)),
+        ).cast("long")
+        cand = (
+            pts.withColumn("_i", F.explode(F.sequence(ilo, ihi)))
+            .withColumn("_j", F.explode(F.sequence(jlo, jhi)))
+            .withColumn("tkey", F.col("_i") * g + F.col("_j"))
+            .join(F.broadcast(keys_df), "tkey")
+            .select("tkey", "px", "py", "pv")
+        )
+        out = cand.groupBy("tkey").applyInPandas(make_fn(h), schema).persist()
+        parts.append(out.filter(F.col("kind") == 1).select(tri_cols))
+        outs.append(out)
+        status = out.filter(F.col("kind") != 1).select(
+            "tkey", "kind", "x1", "y1"
+        ).collect()
+        flags: dict = {}
+        hulls: dict = {}
+        for row in status:
+            if row["kind"] == 0:
+                flags[row["tkey"]] = row["x1"] > 0.5
+            else:
+                hulls.setdefault(row["tkey"], []).append(
+                    (row["x1"], row["y1"])
+                )
+                global_hull_pts.add((row["x1"], row["y1"]))
+        ch_global = _hull_ccw(list(global_hull_pts))
+        nxt = []
+        for tkey in unresolved:
+            if flags.get(tkey, False):
+                nxt.append(tkey)
+                continue
+            i, j = tkey // g, tkey % g
+            rx0, ry0 = minx + i * tw, miny + j * th
+            region = _clip_hull_to_rect(ch_global, rx0, ry0, rx0 + tw, ry0 + th)
+            local = _hull_ccw(hulls.get(tkey, []))
+            if any(not _in_hull(p, local, eps) for p in region):
+                nxt.append(tkey)
+        unresolved = nxt
+        if not unresolved:
+            break
+        h *= 2.0
+    # exact cross-tile dedup on the canonical vertex tuple
+    tri_all = parts[0]
+    for p in parts[1:]:
+        tri_all = tri_all.union(p)
+    tri_all = tri_all.dropDuplicates(tri_cols).persist()
+    tri_all.count()
+    for o in outs:
+        o.unpersist()
+    return tri_all
 
 
 def grid_nearest(
