@@ -216,6 +216,97 @@ def run_warp_bench(spark, size: int = 4096) -> dict:
     return out
 
 
+def run_sf1_rehearsal(spark) -> dict:
+    """sf1-scale rehearsal (VERDICT r4 #8): the flagship pipeline at 10M
+    pages plus the dedup family and the new distributed grid_linear at
+    sf1-equivalent row counts, publishing walls and driver-side
+    threshold observations. All inputs are synthesized deterministically
+    JVM-side (no external data; at real scale these are table reads)."""
+    from gdal_spark.operators import dedup as DD
+    from gdal_spark.operators import gridding as G
+
+    out: dict = {"threshold_trips": []}
+
+    n_pages = int(os.environ.get("SF1_PAGES", "10000000"))
+    pipe = run_pipeline(spark, n_pages)
+    out["pipeline"] = {
+        "pages": pipe["pages"],
+        "pages_per_sec": pipe["pages_per_sec"],
+        "total_sec": pipe["total_sec"],
+    }
+
+    # dedup family on a 40x corpus (sf1-equivalent document count);
+    # ~2% planted exact duplicates so dedup_exact has real work
+    n_docs = int(os.environ.get("SF1_DOCS", "200000"))
+    docs = spark.range(n_docs).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(0, 29), i -> substr(md5(concat("
+        "CAST(CASE WHEN id % 50 = 7 THEN id - 7 ELSE id END AS STRING), "
+        "':', CAST(i AS STRING))), 1, 6))) AS text",
+    ).persist()
+    docs.count()
+    t0 = time.time()
+    n_uniq = DD.dedup_exact(docs).count()
+    out["dedup_exact"] = {
+        "docs": n_docs, "unique": n_uniq, "sec": round(time.time() - t0, 3),
+    }
+    t0 = time.time()
+    n_pairs = DD.lsh_pairs(docs).count()
+    out["dedup_minhash"] = {
+        "docs": n_docs, "pairs": n_pairs, "sec": round(time.time() - t0, 3),
+    }
+    t0 = time.time()
+    n_sh = DD.simhash_hamming_pairs(corpus=docs).count()
+    out["simhash_pairs"] = {
+        "docs": n_docs, "pairs": n_sh, "sec": round(time.time() - t0, 3),
+    }
+    docs.unpersist()
+
+    # embedding dedup at 100x vectors with ~1% planted duplicates; the
+    # union-find edge threshold (2M) is the driver-side gate to watch
+    n_emb = int(os.environ.get("SF1_EMB", "200000"))
+    # hash-based coordinates: independent per (id, i). (A sin(id*64+i)
+    # generator is adversarial — cos(v,w) ~ cos((v-w)*64) by
+    # product-to-sum, chaining EVERYTHING into one giant cluster.)
+    emb = spark.range(n_emb).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 63), i -> CAST(pmod(xxhash64(CASE WHEN "
+        "id % 100 = 3 THEN id - 3 ELSE id END, i), 2001) - 1000 AS DOUBLE)"
+        " / 1000.0) AS embedding",
+    ).persist()
+    emb.count()
+    t0 = time.time()
+    dup_members = (
+        DD.dedup_embeddings(emb).filter("vec_id != rep_id").count()
+    )
+    out["dedup_embeddings"] = {
+        "vecs": n_emb, "dup_members": dup_members,
+        "sec": round(time.time() - t0, 3),
+        "edge_threshold": 2_000_000,
+    }
+    if dup_members > 2_000_000:
+        out["threshold_trips"].append("dedup_embeddings:union-find-edges")
+    emb.unpersist()
+
+    # distributed grid_linear: 1M points forces the tile-local
+    # triangulation (the pre-r5 version refused above 100k)
+    n_pts = int(os.environ.get("SF1_GRID_PTS", "1000000"))
+    pts = spark.range(n_pts).selectExpr(
+        "CAST(pmod(id * 1103515245 + 12345, 1000000) AS DOUBLE) / 1000.0 AS px",
+        "CAST(pmod(id * 69069 + 1, 600000) AS DOUBLE) / 1000.0 AS py",
+        "CAST(pmod(id, 97) AS DOUBLE) AS pv",
+    )
+    t0 = time.time()
+    n_nodes = G.grid_linear(
+        pts, x0=2.0, y0=2.0, dx=2.0, dy=1.5, nx=480, ny=380,
+        x_col="px", y_col="py", v_col="pv",
+    ).count()
+    out["grid_linear_tiled"] = {
+        "points": n_pts, "nodes": n_nodes, "sec": round(time.time() - t0, 3),
+    }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -264,6 +355,7 @@ def main() -> None:
     pipe = run_pipeline(spark, n_bench)
     warp = run_warp_bench(spark, int(os.environ.get("WARP_BENCH_SIZE", "2048")))
     knn = run_knn_bench(spark)
+    sf1 = run_sf1_rehearsal(spark) if os.environ.get("BENCH_SF1", "1") == "1" else None
 
     out = {
         "metric": "headline-query wall time",
@@ -274,6 +366,7 @@ def main() -> None:
         "pipeline": pipe,
         "warp": warp,
         "knn": knn,
+        "sf1": sf1,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }
     # Full detail (all per-query timings + raw reps) goes to a file: the
@@ -312,6 +405,17 @@ def main() -> None:
             "brute_sec": knn["knn_brute_sec"],
             "speedup": knn["knn_cells_speedup"],
         },
+        "sf1": (
+            {
+                "pages_per_sec": sf1["pipeline"]["pages_per_sec"],
+                "minhash_sec": sf1["dedup_minhash"]["sec"],
+                "emb_dedup_sec": sf1["dedup_embeddings"]["sec"],
+                "grid_linear_sec": sf1["grid_linear_tiled"]["sec"],
+                "trips": sf1["threshold_trips"],
+            }
+            if sf1
+            else None
+        ),
         "detail": "BENCH/queries_latest.json",
     }
     # emit the JSON on its own clean line: flush both streams first and

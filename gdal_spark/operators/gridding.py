@@ -116,7 +116,7 @@ def grid_average(
 def grid_linear(
     points: DataFrame, x0, y0, dx, dy, nx, ny,
     x_col: str = "x", y_col: str = "y", v_col: str = "v",
-    driver_threshold: int = 100_000,
+    driver_threshold: int = 20_000,
     target_per_tile: int = 3000,
 ) -> DataFrame:
     """Linear (Delaunay TIN) interpolation, GDALGridLinear semantics
@@ -336,6 +336,149 @@ def _in_hull(p, hull, eps):
     return True
 
 
+def _clip_halfplane(poly, a, b, c):
+    """Sutherland-Hodgman single-plane clip: keep a*x + b*y + c >= 0.
+    poly: CCW vertex list (may be degenerate)."""
+    if not poly:
+        return []
+    if len(poly) < 3:
+        return [(x, y) for x, y in poly if a * x + b * y + c >= 0.0]
+    out = []
+    m = len(poly)
+    for i in range(m):
+        cur, nxt = poly[i], poly[(i + 1) % m]
+        dc = a * cur[0] + b * cur[1] + c
+        dn = a * nxt[0] + b * nxt[1] + c
+        if dc >= 0.0:
+            out.append(cur)
+        if (dc >= 0.0) != (dn >= 0.0):
+            t = dc / (dc - dn)
+            out.append(
+                (cur[0] + t * (nxt[0] - cur[0]), cur[1] + t * (nxt[1] - cur[1]))
+            )
+    return out
+
+
+def _hull_edge_lines(hull):
+    """Unit-normalized (a, b, c) per CCW hull edge: a*x + b*y + c is the
+    signed distance, positive toward the interior."""
+    import math
+
+    m = len(hull)
+    out = []
+    for i in range(m):
+        (ax, ay), (bx, by) = hull[i], hull[(i + 1) % m]
+        ex, ey = bx - ax, by - ay
+        ln = math.hypot(ex, ey) or 1.0
+        a, b = -ey / ln, ex / ln
+        out.append((a, b, -(a * ax + b * ay)))
+    return out
+
+
+def _erode_hull(hull, d):
+    """The convex region of points at signed distance >= d inside the
+    hull (intersection of inward-shifted edge half-planes)."""
+    poly = list(hull)
+    for a, b, c in _hull_edge_lines(hull):
+        poly = _clip_halfplane(poly, a, b, c - d)
+        if not poly:
+            break
+    return poly
+
+
+def _convex_diff_pieces(region, inner, eps):
+    """region \\ inner (both convex, CCW) as a list of convex pieces
+    (empty when the difference is numerically thinner than eps).
+    Standard decomposition: the i-th piece is
+    region ∩ inside(e_1..e_{i-1}) ∩ outside(e_i). Exact pieces matter:
+    the axis bbox of a thin diagonal strip is fat, and downstream uses
+    these to size/gate the hull band."""
+    if len(region) < 3:
+        return []
+    if len(inner) < 3:
+        return [list(region)]
+    pieces = []
+    rem = region
+    for a, b, c in _hull_edge_lines(inner):
+        piece = _clip_halfplane(rem, -a, -b, -c)
+        # drop numerically-degenerate slivers thinner than eps
+        if len(piece) >= 3 and any(
+            a * x + b * y + c < -eps for x, y in piece
+        ):
+            pieces.append(piece)
+        rem = _clip_halfplane(rem, a, b, c)
+        if not rem:
+            break
+    return pieces
+
+
+def _tris_intersect_convex(txs, tys, piece):
+    """Vectorized exact SAT overlap: which triangles (txs/tys: (nt, 3))
+    intersect the convex CCW polygon `piece` (closed overlap — shared
+    boundary counts)."""
+    import numpy as np
+
+    nt = len(txs)
+    if nt == 0:
+        return np.zeros(0, bool)
+    if len(piece) < 3:
+        # degenerate piece: zero area, nothing to certify against
+        return np.zeros(nt, bool)
+    sep = np.zeros(nt, bool)
+    for a, b, c in _hull_edge_lines(piece):
+        sep |= (a * txs + b * tys + c).max(axis=1) < 0.0
+    # orient triangles CCW so edge interiors are on the left
+    ar2 = (
+        (txs[:, 1] - txs[:, 0]) * (tys[:, 2] - tys[:, 0])
+        - (tys[:, 1] - tys[:, 0]) * (txs[:, 2] - txs[:, 0])
+    )
+    flip = ar2 < 0.0
+    txs = txs.copy()
+    tys = tys.copy()
+    txs[flip, 1], txs[flip, 2] = txs[flip, 2], txs[flip, 1].copy()
+    tys[flip, 1], tys[flip, 2] = tys[flip, 2], tys[flip, 1].copy()
+    px = np.asarray([p[0] for p in piece])
+    py = np.asarray([p[1] for p in piece])
+    for k in range(3):
+        ax, ay = txs[:, k], tys[:, k]
+        bx, by = txs[:, (k + 1) % 3], tys[:, (k + 1) % 3]
+        cr = (bx - ax)[:, None] * (py[None, :] - ay[:, None]) - (
+            by - ay
+        )[:, None] * (px[None, :] - ax[:, None])
+        sep |= cr.max(axis=1) < 0.0
+    return ~sep
+
+
+def _dist2_to_convex(px, py, poly):
+    """Vectorized squared distance from points (np arrays) to a convex
+    CCW polygon (0 inside). Degenerate polys = point/segment distance."""
+    import numpy as np
+
+    if not poly:
+        return np.full(len(px), np.inf)
+    if len(poly) == 1:
+        return (px - poly[0][0]) ** 2 + (py - poly[0][1]) ** 2
+    d2 = np.full(len(px), np.inf)
+    inside = np.ones(len(px), bool) if len(poly) >= 3 else None
+    m = len(poly)
+    for i in range(m):
+        ax, ay = poly[i]
+        bx, by = poly[(i + 1) % m]
+        ex, ey = bx - ax, by - ay
+        ee = ex * ex + ey * ey
+        if ee <= 0.0:
+            seg = (px - ax) ** 2 + (py - ay) ** 2
+        else:
+            t = np.clip(((px - ax) * ex + (py - ay) * ey) / ee, 0.0, 1.0)
+            seg = (px - (ax + t * ex)) ** 2 + (py - (ay + t * ey)) ** 2
+        d2 = np.minimum(d2, seg)
+        if inside is not None:
+            inside &= ex * (py - ay) - ey * (px - ax) >= 0.0
+    if inside is not None:
+        d2[inside] = 0.0
+    return d2
+
+
 def _clip_hull_to_rect(hull, rx0, ry0, rx1, ry1):
     """Sutherland-Hodgman: convex polygon ∩ axis rect -> vertex list.
     Degenerate (<3 vertex) hulls clip their points/segment endpoints."""
@@ -370,11 +513,117 @@ def _clip_hull_to_rect(hull, rx0, ry0, rx1, ry1):
     return poly
 
 
+def _band_complete(
+    pts, ch_global, gap_pieces, d0, minx, miny, maxx, maxy, n,
+    spark, verbose,
+):
+    """Hull-band completion: the triangles the tile passes miss.
+
+    A tile whose rect-overlapping local triangles are all certain can
+    still MISS global triangles that overlap its rect only inside the
+    strip rect ∩ CH(global) \\ CH(local-halo points): hull-chord slivers
+    whose far vertices no reasonable halo reaches. Those triangles all
+    hug the hull boundary — an empty circumdisk through a gap strip
+    cannot reach deep inside (it would contain interior points) — so
+    triangulating only the points within distance d of the hull
+    boundary finds them, and each candidate is certified exactly by
+    disk ∩ erode(hull, d) = ∅ (every unseen point lies in the eroded
+    region). If an uncertified candidate overlaps a recorded gap piece,
+    d doubles; at d ≥ inradius the band is ALL points and everything
+    certifies, so termination (worst case one full triangulation, never
+    an error) is guaranteed. Certified triangles are global-DT members
+    by the empty-disk property, so unioning them (dedup on the
+    canonical tuple) with the tile output stays exact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.delaunay import delaunay_np
+    from ..session import local_df
+
+    lines = np.asarray(_hull_edge_lines(ch_global))  # (E, 3)
+    la, lb, lc = lines[:, 0], lines[:, 1], lines[:, 2]
+    # start the band at 2x the deepest recorded gap vertex (gaps are
+    # hull-chord strips, typically point-spacing deep), NOT at tile
+    # scale: a 0.25-tile band over a large input is a needlessly huge
+    # single triangulation. Escalation doubles from here if slivers
+    # reach deeper.
+    cx = np.asarray([p[0] for piece in gap_pieces for p in piece])
+    cy = np.asarray([p[1] for piece in gap_pieces for p in piece])
+    depth = np.min(
+        la[:, None] * cx[None, :] + lb[:, None] * cy[None, :] + lc[:, None],
+        axis=0,
+    ).max()
+    span = max(maxx - minx, maxy - miny, 1e-12)
+    d0 = min(d0, max(2.0 * float(depth), 1e-9 * span))
+
+    def band_filter(d):
+        def fn(it):
+            for pdf in it:
+                x = pdf["px"].to_numpy()
+                y = pdf["py"].to_numpy()
+                dist = np.min(
+                    la[:, None] * x[None, :]
+                    + lb[:, None] * y[None, :]
+                    + lc[:, None],
+                    axis=0,
+                )
+                yield pdf[dist < d]
+        return fn
+
+    d = d0
+    while True:
+        pdf = (
+            pts.mapInPandas(band_filter(d), pts.schema)
+            .toPandas()
+        )
+        xs = pdf["px"].to_numpy(dtype=float)
+        ys = pdf["py"].to_numpy(dtype=float)
+        vs = pdf["pv"].to_numpy(dtype=float)
+        full = len(xs) >= n
+        if len(xs) < 3:
+            return None
+        tri, ccx, ccy, cr2 = delaunay_np(xs, ys)
+        if not len(tri):
+            return None
+        if full:
+            cert = np.ones(len(tri), bool)
+        else:
+            eroded = _erode_hull(ch_global, d)
+            cert = _dist2_to_convex(ccx, ccy, eroded) >= cr2
+        if verbose:
+            import sys as _sys
+            print(
+                f"triangulate_tiled: band d={d:.3g} pts={len(xs)}"
+                f" tris={len(tri)} certified={int(cert.sum())}",
+                file=_sys.stderr, flush=True,
+            )
+        if full or not gap_pieces:
+            break
+        bad = ~cert
+        if not bad.any():
+            break
+        txs, tys = xs[tri[bad]], ys[tri[bad]]
+        hits = False
+        for piece in gap_pieces:
+            if _tris_intersect_convex(txs, tys, piece).any():
+                hits = True
+                break
+        if not hits:
+            break
+        d *= 2.0
+    emit = np.nonzero(cert)[0]
+    txs, tys, tvs = xs[tri], ys[tri], vs[tri]
+    rows = [_canon_tri(txs[t], tys[t], tvs[t]) for t in emit]
+    return local_df(spark, rows, _TRI_DDL)
+
+
 def triangulate_tiled(
     pts: DataFrame,
     target_per_tile: int = 3000,
     halo_factor: float = 0.25,
     max_passes: int = 24,
+    verbose: bool = False,
 ) -> DataFrame:
     """EXACT global Delaunay triangulation, distributed.
 
@@ -396,19 +645,22 @@ def triangulate_tiled(
         to the global triangulation. Certain triangles overlapping the
         tile's own rect are emitted; cross-tile duplicates collapse on
         the canonical vertex tuple.
-      * a tile is RESOLVED when every rect-overlapping local triangle
-        is certain AND rect ∩ CH(all points) ⊆ CH(local points) — the
-        hull condition catches sparse/empty tiles whose area a far-away
-        triangle covers (the global hull is exact after pass 0: it is
-        the hull of the union of per-tile local hulls). Unresolved
-        tiles re-run with doubled halo; a halo covering the whole bbox
-        resolves unconditionally, so termination is guaranteed in
-        O(log(bbox/halo0)) passes — worst case ONE tile re-triangulates
-        everything (executor-side), never an error.
+      * a tile with any UNCERTAIN rect-overlapping triangle re-runs
+        with doubled halo (converges in ~2 passes: interior disks are
+        local). A tile whose triangles are all certain but where
+        rect ∩ CH(all points) ⊈ CH(local points) has a hull-coverage
+        GAP — global hull-chord slivers overlap its rect but involve
+        far-away chord endpoints no reasonable halo reaches. Those
+        tiles do NOT escalate; their gap pieces feed ONE final
+        `_band_complete` pass (triangulate the near-hull-boundary band,
+        certify against the eroded hull — see its docstring for the
+        exactness argument). The global hull is exact after pass 0 (it
+        is the hull of the union of per-tile local hulls).
 
-    Every global triangle overlapping a resolved tile's rect is provably
-    among that tile's certain triangles, so the union over the (exactly
-    tiling) rects is the complete triangulation.
+    Every global triangle overlapping a resolved tile's rect is either
+    among that tile's certain triangles or overlaps a recorded gap piece
+    and is produced certified by the band pass, so the union over the
+    (exactly tiling) rects is the complete triangulation.
     """
     import math
 
@@ -460,15 +712,34 @@ def triangulate_tiled(
             if len(xs) >= 3:
                 tri, ccx, ccy, cr2 = delaunay_np(xs, ys)
                 if len(tri):
-                    r = np.sqrt(cr2)
-                    # a side whose halo already covers the global bbox
-                    # edge is vacuously contained (no points beyond it)
-                    certain = (
-                        ((hx0 <= minx) | (ccx - r >= hx0))
-                        & ((hx1 > maxx) | (ccx + r < hx1))
-                        & ((hy0 <= miny) | (ccy - r >= hy0))
-                        & ((hy1 > maxy) | (ccy + r < hy1))
-                    )
+                    # a triangle is CERTAIN when its circumdisk cannot
+                    # contain an unseen point: points only exist inside
+                    # the global bbox, so the test is disk ∩ (bbox \
+                    # halo) = ∅ — distance from the circumcenter to each
+                    # bbox slab outside the halo ≥ circumradius. This is
+                    # strictly weaker than "disk ⊆ halo rect" and is what
+                    # certifies hull-edge sliver triangles (their huge
+                    # empty disks stick far OUT of the bbox, never into
+                    # it) — without it every perimeter tile escalates to
+                    # a whole-domain halo.
+                    def _slab_far(sx0, sy0, sx1, sy1):
+                        ddx = np.maximum(
+                            np.maximum(sx0 - ccx, ccx - sx1), 0.0
+                        )
+                        ddy = np.maximum(
+                            np.maximum(sy0 - ccy, ccy - sy1), 0.0
+                        )
+                        return ddx * ddx + ddy * ddy >= cr2
+
+                    certain = np.ones(len(tri), bool)
+                    if hx0 > minx:
+                        certain &= _slab_far(minx, miny, hx0, maxy)
+                    if hx1 < maxx:
+                        certain &= _slab_far(hx1, miny, maxx, maxy)
+                    if hy0 > miny:
+                        certain &= _slab_far(minx, miny, maxx, hy0)
+                    if hy1 < maxy:
+                        certain &= _slab_far(minx, hy1, maxx, maxy)
                     txs, tys, tvs = xs[tri], ys[tri], vs[tri]
                     bminx, bmaxx = txs.min(1), txs.max(1)
                     bminy, bmaxy = tys.min(1), tys.max(1)
@@ -500,6 +771,8 @@ def triangulate_tiled(
     unresolved = [i * g + j for i in range(g) for j in range(g)]
     parts, outs = [], []
     global_hull_pts: set = set()
+    gap_pieces: list = []
+    ch_global: list = []
     for _ in range(max_passes):
         keys_df = local_df(spark, [(k,) for k in unresolved], "tkey long")
         ilo = F.greatest(
@@ -547,16 +820,36 @@ def triangulate_tiled(
             if flags.get(tkey, False):
                 nxt.append(tkey)
                 continue
+            # tile is DONE escalating (all rect-overlapping local
+            # triangles certain). Record its hull-coverage gap, if any,
+            # for the band-completion phase — growing this tile's halo
+            # until it swallows the far hull-chord endpoints is the
+            # pathological O(n) path the band pass replaces.
             i, j = tkey // g, tkey % g
             rx0, ry0 = minx + i * tw, miny + j * th
             region = _clip_hull_to_rect(ch_global, rx0, ry0, rx0 + tw, ry0 + th)
             local = _hull_ccw(hulls.get(tkey, []))
             if any(not _in_hull(p, local, eps) for p in region):
-                nxt.append(tkey)
+                gap_pieces.extend(_convex_diff_pieces(region, local, eps))
+        if verbose:
+            import sys as _sys
+            print(
+                f"triangulate_tiled: pass halo={h:.3g} tiles={len(unresolved)}"
+                f" -> uncertain {len(nxt)}, gap-pieces {len(gap_pieces)}",
+                file=_sys.stderr, flush=True,
+            )
         unresolved = nxt
         if not unresolved:
             break
         h *= 2.0
+    if gap_pieces and len(ch_global) >= 3:
+        band = _band_complete(
+            pts, ch_global, gap_pieces,
+            halo_factor * max(tw, th), minx, miny, maxx, maxy, n,
+            spark, verbose,
+        )
+        if band is not None:
+            parts.append(band)
     # exact cross-tile dedup on the canonical vertex tuple
     tri_all = parts[0]
     for p in parts[1:]:
