@@ -290,10 +290,12 @@ def run_sf1_rehearsal(spark) -> dict:
 
     # distributed grid_linear: 1M points forces the tile-local
     # triangulation (the pre-r5 version refused above 100k)
+    # xxhash64 mixing: LCG steps like id*69069 mod 6e5 share period
+    # 200k, silently shrinking "1M points" to 200k unique
     n_pts = int(os.environ.get("SF1_GRID_PTS", "1000000"))
     pts = spark.range(n_pts).selectExpr(
-        "CAST(pmod(id * 1103515245 + 12345, 1000000) AS DOUBLE) / 1000.0 AS px",
-        "CAST(pmod(id * 69069 + 1, 600000) AS DOUBLE) / 1000.0 AS py",
+        "CAST(pmod(xxhash64(id, 1), 1000000) AS DOUBLE) / 1000.0 AS px",
+        "CAST(pmod(xxhash64(id, 2), 600000) AS DOUBLE) / 1000.0 AS py",
         "CAST(pmod(id, 97) AS DOUBLE) AS pv",
     )
     t0 = time.time()
