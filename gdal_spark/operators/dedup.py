@@ -439,6 +439,37 @@ def simhash_hamming_pairs_sql(
 # ------------------------------------------------------- embedding near-dup
 
 
+def _emb_candidates(
+    e: DataFrame, n_planes: int, n_bands: int, dim: int
+) -> DataFrame:
+    """Sign-LSH candidate pairs over (vid, vec): all B band buckets in
+    ONE exploded (band, bucket) key column -> a single self-equi-join
+    replaces B separate joins + union (the candidate set is identical
+    after distinct; the join key carries the band id so buckets never
+    collide across bands).  Split out so tests/test_plans.py can assert
+    the single-join shape directly (dedup_embeddings itself executes
+    eagerly for the union-find tier)."""
+    from .similarity import _mp_bucket_expr, _mp_pairs
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(
+                _mp_bucket_expr("vec", _mp_pairs(n_planes, dim, seed=421 + b), False)
+            ).cast("long").alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    eb = e.select("vid", F.explode(F.array(*band_structs)).alias("bb"))
+    return (
+        eb.select(F.col("vid").alias("la"), "bb")
+        .join(eb.select(F.col("vid").alias("lb"), "bb"), "bb")
+        .filter(F.col("la") < F.col("lb"))
+        .select("la", "lb")
+        .distinct()
+    )
+
+
 def dedup_embeddings(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -474,30 +505,10 @@ def dedup_embeddings(
     tests/test_dedup_embeddings.py; the oracle replicates the banding
     exactly, so driver parity tests the implementation, not recall."""
     from .polygonize import _distributed_min_label
-    from .similarity import _cos_expr, _mp_bucket_expr, _mp_pairs
+    from .similarity import _cos_expr
 
     e = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    # all B band buckets in ONE exploded (band, bucket) key column ->
-    # a single self-equi-join replaces B separate joins + union (the
-    # candidate set is identical after distinct; the join key carries
-    # the band id so buckets never collide across bands)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.expr(
-                _mp_bucket_expr("vec", _mp_pairs(n_planes, dim, seed=421 + b), False)
-            ).cast("long").alias("bucket"),
-        )
-        for b in range(n_bands)
-    ]
-    eb = e.select("vid", F.explode(F.array(*band_structs)).alias("bb"))
-    cand = (
-        eb.select(F.col("vid").alias("la"), "bb")
-        .join(eb.select(F.col("vid").alias("lb"), "bb"), "bb")
-        .filter(F.col("la") < F.col("lb"))
-        .select("la", "lb")
-        .distinct()
-    )
+    cand = _emb_candidates(e, n_planes=n_planes, n_bands=n_bands, dim=dim)
     edges = (
         cand.join(e.select(F.col("vid").alias("la"), F.col("vec").alias("veca")), "la")
         .join(e.select(F.col("vid").alias("lb"), F.col("vec").alias("vecb")), "lb")

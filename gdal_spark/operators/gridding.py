@@ -117,7 +117,7 @@ def grid_linear(
     points: DataFrame, x0, y0, dx, dy, nx, ny,
     x_col: str = "x", y_col: str = "y", v_col: str = "v",
     driver_threshold: int = 20_000,
-    target_per_tile: int = 3000,
+    target_per_tile: int = 1500,
 ) -> DataFrame:
     """Linear (Delaunay TIN) interpolation, GDALGridLinear semantics
     (alg/gdalgrid.cpp:2459): triangulate the points, locate each grid
@@ -194,7 +194,7 @@ _TRI_DDL = (
 
 def _interp_nodes(
     spark, tdf: DataFrame, x0, y0, dx, dy, nx, ny,
-    broadcast_threshold: int = 500_000, node_block: int = 256,
+    broadcast_threshold: int = 500_000, node_block: int = 16,
 ) -> DataFrame:
     """Locate grid nodes in triangles and interpolate barycentrically.
 
@@ -202,7 +202,14 @@ def _interp_nodes(
     join). Large ones bucket BOTH sides by node-index block: each
     triangle explodes to the blocks its bbox covers (local triangles ->
     tiny fan-out) and meets its nodes through one hash equi-join — no
-    cross product at any size."""
+    cross product at any size.
+
+    Block size: pair evaluations scale as (B + w)^2 per triangle
+    (w = triangle bbox width in node indexes), so SMALL blocks strictly
+    win until explode fan-out dominates; B=16 keeps fan-out ~1 for
+    triangles up to ~16 node spacings wide while giving a fine grid
+    hundreds of join keys (B=256 on a 480x380 grid yielded 4 keys — a
+    quarter-cartesian, measured 30s vs ~2s at B=16 on 2M triangles)."""
     tdf = tdf.withColumn("bminx", F.least("x1", "x2", "x3")).withColumn(
         "bminy", F.least("y1", "y2", "y3")
     ).withColumn("bmaxx", F.greatest("x1", "x2", "x3")).withColumn(
@@ -571,12 +578,16 @@ def _band_complete(
                 yield pdf[dist < d]
         return fn
 
+    import time as _time
+
     d = d0
     while True:
+        _t0 = _time.time()
         pdf = (
             pts.mapInPandas(band_filter(d), pts.schema)
             .toPandas()
         )
+        _t_scan = _time.time() - _t0
         xs = pdf["px"].to_numpy(dtype=float)
         ys = pdf["py"].to_numpy(dtype=float)
         vs = pdf["pv"].to_numpy(dtype=float)
@@ -595,7 +606,8 @@ def _band_complete(
             import sys as _sys
             print(
                 f"triangulate_tiled: band d={d:.3g} pts={len(xs)}"
-                f" tris={len(tri)} certified={int(cert.sum())}",
+                f" tris={len(tri)} certified={int(cert.sum())}"
+                f" [scan {_t_scan:.1f}s, tri {_time.time() - _t0 - _t_scan:.1f}s]",
                 file=_sys.stderr, flush=True,
             )
         if full or not gap_pieces:
@@ -620,7 +632,7 @@ def _band_complete(
 
 def triangulate_tiled(
     pts: DataFrame,
-    target_per_tile: int = 3000,
+    target_per_tile: int = 1500,
     halo_factor: float = 0.25,
     max_passes: int = 24,
     verbose: bool = False,
@@ -674,6 +686,10 @@ def triangulate_tiled(
     from ..session import local_df
 
     spark = pts.sparkSession
+    # every pass (and every band escalation) rescans the point table;
+    # upstream it is typically a dedup groupBy — persist once here so
+    # the shuffle doesn't recompute 4-8x
+    pts = pts.persist()
     st = pts.agg(
         F.min("px"), F.max("px"), F.min("py"), F.max("py"), F.count(F.lit(1))
     ).first()
@@ -766,8 +782,11 @@ def triangulate_tiled(
 
         return fn
 
+    import time as _time
+
     tri_cols = ["x1", "y1", "v1", "x2", "y2", "v2", "x3", "y3", "v3"]
     h = halo_factor * max(tw, th)
+    _t0 = _time.time()
     unresolved = [i * g + j for i in range(g) for j in range(g)]
     parts, outs = [], []
     global_hull_pts: set = set()
@@ -835,9 +854,11 @@ def triangulate_tiled(
             import sys as _sys
             print(
                 f"triangulate_tiled: pass halo={h:.3g} tiles={len(unresolved)}"
-                f" -> uncertain {len(nxt)}, gap-pieces {len(gap_pieces)}",
+                f" -> uncertain {len(nxt)}, gap-pieces {len(gap_pieces)}"
+                f" [{_time.time() - _t0:.1f}s]",
                 file=_sys.stderr, flush=True,
             )
+            _t0 = _time.time()
         unresolved = nxt
         if not unresolved:
             break
@@ -858,6 +879,7 @@ def triangulate_tiled(
     tri_all.count()
     for o in outs:
         o.unpersist()
+    pts.unpersist()
     return tri_all
 
 

@@ -184,3 +184,22 @@ def test_ann_ivf_corpus_side_no_shuffle(spark, sf_dir):
     out = SIM.ann_ivf(emb, SIM.queries_subset(emb), k=5)
     plan = plan_of(out)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dedup_embeddings_single_band_join(spark, sf_dir):
+    """The embedding-dedup candidate stage is ONE exploded (band,
+    bucket) self-equi-join — not B joins + union, and never a cross
+    product (r4 commit 8992b09's win, pinned)."""
+    import re
+
+    from gdal_spark.operators.dedup import _emb_candidates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("vec")
+    )
+    plan = plan_of(_emb_candidates(e, n_planes=16, n_bands=8, dim=64))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    joins = re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert len(joins) == 1, (joins, plan)
