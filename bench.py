@@ -334,7 +334,13 @@ def main() -> None:
     # each operator's MARGINAL work over the shared persisted scans —
     # simhash itself (= the signature scan) reads back its own persist,
     # so its timed number is near-zero by construction.
-    for warm in ("swap_xy", "hillshade", "simhash"):
+    # polygonize likewise warms the polygonize family's shared persists
+    # (_poly_shared: rasterized zone pixels AND labeled components) —
+    # whichever family member runs first in registry order (footprint in
+    # the r4/r5 ordering) otherwise absorbs both materializations
+    # (~7s of its r4 10.9s wall). Same marginal-work convention as the
+    # dedup family above.
+    for warm in ("swap_xy", "hillshade", "simhash", "polygonize"):
         if warm in queries:
             try:
                 queries[warm](spark, sf_dir).write.format("noop").mode(
