@@ -4,12 +4,14 @@ The scale-path design (north rule: explicit partitioning/shuffle):
 
   * exact — one hash aggregation on md5(text): map-side partial agg, then
     a shuffle on the 128-bit digest (uniform keys, no skew).
-  * MinHash+LSH — signatures are computed scan-side with JVM higher-order
-    functions (md5 per shingle per seed — no Python); banding turns
-    near-dup search into B equi-joins on band digests, each a plain hash
-    shuffle; candidate verification re-checks true shingle Jaccard. This is
-    the shingle->minhash->band->bucket-join pipeline; cost is linear scan +
-    joins whose key cardinality ~ corpus size (no quadratic step).
+  * MinHash+LSH — signatures come from an exploded shingle scan (one md5
+    per distinct shingle inside whole-stage codegen — no Python, no
+    interpreted higher-order functions) + a map-side-combined groupBy of
+    the universal-hash mins; banding turns near-dup search into equi-joins
+    on band digests, each a plain hash shuffle; candidate verification
+    re-checks true shingle Jaccard. This is the shingle->minhash->band->
+    bucket-join pipeline; cost is linear scan + joins whose key
+    cardinality ~ corpus size (no quadratic step).
   * SimHash — 16-bit signature from per-token md5-derived bit votes; equal
     signatures = candidate near-dups (single groupBy).
 
@@ -81,11 +83,38 @@ def dedup_exact_sql(rel: str = "corpus") -> str:
 
 
 def _shingles_expr(text_col: str) -> str:
-    """Distinct word 3-shingles (Spark SQL, 0-based array indexing)."""
+    """Distinct word 3-shingles (Spark SQL, 0-based array indexing).
+
+    NOTE: embeds `split(text)` 3x inside the lambda — every shingle
+    re-splits the whole text (measured 0.64ms/doc on 2KB docs). Hot
+    paths should project the words array behind a `cheap_once` barrier
+    and use `_shingles_from_words` instead (12x on the shingle scan)."""
     t = f"split({text_col}, ' ')"
     return (
         f"array_distinct(transform(sequence(0, size({t}) - {SHINGLE}), "
         f"i -> concat({t}[i], ' ', {t}[i+1], ' ', {t}[i+2])))"
+    )
+
+
+def _shingles_from_words(words_col: str) -> str:
+    """Distinct word 3-shingles over an ALREADY-SPLIT words array column.
+    The column must be projected behind `barrier.cheap_once` — otherwise
+    CollapseProject substitutes the split back into the lambda body and
+    the per-shingle re-split returns."""
+    w = words_col
+    return (
+        f"array_distinct(transform(sequence(0, size({w}) - {SHINGLE}), "
+        f"i -> concat({w}[i], ' ', {w}[i+1], ' ', {w}[i+2])))"
+    )
+
+
+def _with_words(df: DataFrame, text_col: str, out: str = "_w") -> DataFrame:
+    """Project the split-words array once behind an anti-inlining
+    barrier and keep only rows with enough words to shingle."""
+    from ..functions.barrier import cheap_once
+
+    return df.withColumn(out, cheap_once(F.split(F.col(text_col), " "))).filter(
+        F.size(out) >= SHINGLE
     )
 
 
@@ -111,14 +140,6 @@ def _mh_ab(j: int) -> tuple:
     return 1103515245 + 2 * j, 12345 + 40503 * j
 
 
-def _shingle_hash_expr(shingles: str) -> str:
-    """Spark: array<bigint> of 32-bit md5-prefix hashes, one md5 per
-    distinct shingle."""
-    return (
-        f"transform({shingles}, "
-        f"s -> CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT))"
-    )
-
 
 def _shingle_hash_duck(shingles: str) -> str:
     terms = " + ".join(
@@ -128,10 +149,6 @@ def _shingle_hash_duck(shingles: str) -> str:
     return f"list_transform({shingles}, s -> CAST({terms} AS BIGINT))"
 
 
-def _sig_expr(hashed: str, j: int) -> str:
-    a, b = _mh_ab(j)
-    return f"array_min(transform({hashed}, h -> (h * {a} + {b}) % {MINHASH_P}))"
-
 
 def _sig_duck(hashed: str, j: int) -> str:
     a, b = _mh_ab(j)
@@ -139,21 +156,41 @@ def _sig_duck(hashed: str, j: int) -> str:
 
 
 def minhash_signatures(corpus: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id, shingles, band_0..band_{B-1} (md5 of BAND_ROWS signature
-    rows). All JVM-side higher-order functions."""
-    sh = _shingles_expr(text_col)
-    df = corpus.filter(F.expr(f"size(split({text_col}, ' ')) >= {SHINGLE}")).withColumn(
-        "shingles", F.expr(sh)
-    ).withColumn("sh_h", F.expr(_shingle_hash_expr("shingles")))
-    sigs = [
-        f"CAST({_sig_expr('sh_h', j)} AS STRING)" for j in range(NUM_HASHES)
-    ]
+    """doc_id, band_0..band_{B-1} (md5 of BAND_ROWS signature rows).
+
+    Codegen shape: explode the shingle array -> one md5 per row inside
+    whole-stage codegen -> the NUM_HASHES universal-hash mins as a
+    map-side-combined groupBy (shuffle volume = docs x NUM_HASHES, not
+    shingles). The previous form (12 x transform+array_min higher-order
+    functions per row) was CodegenFallback — interpreted, closure per
+    element — and measured 0.76ms/doc vs ~0.1ms/doc for this shape;
+    identical values (min is duplicate-insensitive, same hash exprs)."""
+    ex = (
+        _with_words(corpus, text_col)
+        .select("doc_id", F.explode(F.expr(_shingles_from_words("_w"))).alias("s"))
+        .select(
+            "doc_id",
+            F.expr("CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT)").alias("h"),
+        )
+    )
+    aggs = []
+    for j in range(NUM_HASHES):
+        a, b = _mh_ab(j)
+        aggs.append(
+            F.min(F.expr(f"(h * {a} + {b}) % {MINHASH_P}")).alias(f"_s{j}")
+        )
+    df = ex.groupBy("doc_id").agg(*aggs)
     for b in range(NUM_HASHES // BAND_ROWS):
-        chunk = sigs[b * BAND_ROWS : (b + 1) * BAND_ROWS]
+        chunk = [
+            f"CAST(_s{j} AS STRING)"
+            for j in range(b * BAND_ROWS, (b + 1) * BAND_ROWS)
+        ]
         df = df.withColumn(
             f"band_{b}", F.expr(f"md5(concat_ws(':', {', '.join(chunk)}))")
         )
-    return df.drop("sh_h")
+    return df.select(
+        "doc_id", *[f"band_{b}" for b in range(NUM_HASHES // BAND_ROWS)]
+    )
 
 
 def lsh_pairs(
@@ -200,9 +237,9 @@ def lsh_pairs(
         .agg(F.count(F.lit(1)).alias("n_common_bands"))
     )
     # join-back: shingles only for docs that appear in candidate pairs
-    sh = corpus.filter(
-        F.expr(f"size(split({text_col}, ' ')) >= {SHINGLE}")
-    ).select("doc_id", F.expr(_shingles_expr(text_col)).alias("sh"))
+    sh = _with_words(corpus, text_col).select(
+        "doc_id", F.expr(_shingles_from_words("_w")).alias("sh")
+    )
     cand = (
         cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa")), "id_a")
         .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb")), "id_b")
