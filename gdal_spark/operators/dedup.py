@@ -306,11 +306,13 @@ _HEXMAP = "'0123456789abcdef'"
 
 
 def _tok_val(tok: str, duck: bool) -> str:
-    """First 16 bits of md5(tok) as an int, via hex-char positions
-    (cross-engine: no conv() in DuckDB)."""
-    pos = "strpos" if duck else "instr"
+    """First 16 bits of md5(tok) as an int. DuckDB has no conv(), so the
+    oracle assembles hex-char positions; Spark uses one conv() call
+    (same value, ~4x fewer string expressions per token)."""
+    if not duck:
+        return f"CAST(conv(substr(md5({tok}), 1, 4), 16, 10) AS BIGINT)"
     parts = [
-        f"(({pos}({_HEXMAP}, substr(md5({tok}), {i + 1}, 1)) - 1) * {16 ** (3 - i)})"
+        f"((strpos({_HEXMAP}, substr(md5({tok}), {i + 1}, 1)) - 1) * {16 ** (3 - i)})"
         for i in range(4)
     ]
     return "(" + " + ".join(parts) + ")"
@@ -335,16 +337,41 @@ def _simhash_expr(text_col: str, duck: bool, vals_col: str | None = None) -> str
     return "(" + " + ".join(bits) + ")"
 
 
-def simhash(corpus: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id, 16-bit simhash (per-token md5 bit votes)."""
-    from ..functions.barrier import once
+def _bit_vote_aggs(val_col: str, nbits: int, prefix: str) -> list:
+    """One SUM aggregate per bit of the per-token value column — the
+    codegen replacement for nbits interpreted transform+aggregate HOF
+    passes over a token array. Expressions identical to the lambda
+    bodies, so values match the HOF form and the DuckDB oracle."""
+    return [
+        F.sum(
+            F.expr(f"2 * (CAST(FLOOR({val_col} / {2 ** i}) AS BIGINT) % 2) - 1")
+        ).alias(f"{prefix}{i}")
+        for i in range(nbits)
+    ]
 
-    vals = f"transform(split({text_col}, ' '), tok -> {_tok_val('tok', False)})"
-    # `once` stops CollapseProject from inlining the md5 pass into all 16
-    # bit expressions (16x md5 otherwise)
-    return corpus.withColumn("_tv", once(F.expr(vals))).select(
-        "doc_id",
-        F.expr(_simhash_expr(text_col, False, vals_col="_tv")).cast("int").alias("simhash"),
+
+def _bits_total(nbits: int, prefix: str) -> str:
+    return "(" + " + ".join(
+        f"(CASE WHEN {prefix}{i} > 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(nbits)
+    ) + ")"
+
+
+def simhash(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id, 16-bit simhash (per-token md5 bit votes).
+
+    Codegen shape: explode tokens -> md5-derived 16-bit value per row in
+    whole-stage codegen -> 16 bit-vote SUMs as one map-side-combined
+    groupBy (the HOF form ran 16 interpreted transform+aggregate passes
+    per row). explode_outer keeps NULL-text docs: their votes sum to
+    NULL, every CASE yields 0, simhash = 0 — exactly the HOF result.
+    Requires unique doc_id per corpus row (corpus_df guarantees it)."""
+    ex = corpus.select(
+        "doc_id", F.explode_outer(F.split(F.col(text_col), " ")).alias("tok")
+    ).select("doc_id", F.expr(_tok_val("tok", False)).alias("v"))
+    df = ex.groupBy("doc_id").agg(*_bit_vote_aggs("v", 16, "_b"))
+    return df.select(
+        "doc_id", F.expr(_bits_total(16, "_b")).cast("int").alias("simhash")
     )
 
 
@@ -358,10 +385,13 @@ def simhash_sql(rel: str = "corpus", text_col: str = "text") -> str:
 
 
 def _tok_val32(tok: str, duck: bool, off: int) -> str:
-    """32 bits of md5(tok) as a BIGINT from hex chars off+1..off+8."""
-    pos = "strpos" if duck else "instr"
+    """32 bits of md5(tok) as a BIGINT from hex chars off+1..off+8.
+    Spark side uses one conv() (no conv in DuckDB — the oracle keeps
+    the strpos form; values identical)."""
+    if not duck:
+        return f"CAST(conv(substr(md5({tok}), {off + 1}, 8), 16, 10) AS BIGINT)"
     parts = [
-        f"(CAST({pos}({_HEXMAP}, substr(md5({tok}), {off + i + 1}, 1)) - 1 "
+        f"(CAST(strpos({_HEXMAP}, substr(md5({tok}), {off + i + 1}, 1)) - 1 "
         f"AS BIGINT) * {16 ** (7 - i)})"
         for i in range(8)
     ]
@@ -383,20 +413,27 @@ def _simhash32_expr(vals_col: str, duck: bool) -> str:
 
 
 def simhash64(corpus: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id, sim_hi, sim_lo — 64-bit simhash as two 32-bit halves."""
-    from ..functions.barrier import once
+    """doc_id, sim_hi, sim_lo — 64-bit simhash as two 32-bit halves.
 
-    t = f"split({text_col}, ' ')"
-    hi = f"transform({t}, tok -> {_tok_val32('tok', False, 0)})"
-    lo = f"transform({t}, tok -> {_tok_val32('tok', False, 8)})"
-    return (
-        corpus.withColumn("_th", once(F.expr(hi)))
-        .withColumn("_tl", once(F.expr(lo)))
-        .select(
-            "doc_id",
-            F.expr(_simhash32_expr("_th", False)).cast("long").alias("sim_hi"),
-            F.expr(_simhash32_expr("_tl", False)).cast("long").alias("sim_lo"),
-        )
+    Same codegen shape as `simhash`: explode tokens, derive both 32-bit
+    halves of md5(tok) per row (subexpression elimination computes the
+    md5 once), then 64 bit-vote SUMs in one map-side-combined groupBy —
+    replacing 64 interpreted HOF passes per row (the dominant cost of
+    the whole simhash family's signature scan)."""
+    ex = corpus.select(
+        "doc_id", F.explode_outer(F.split(F.col(text_col), " ")).alias("tok")
+    ).select(
+        "doc_id",
+        F.expr(_tok_val32("tok", False, 0)).alias("vh"),
+        F.expr(_tok_val32("tok", False, 8)).alias("vl"),
+    )
+    df = ex.groupBy("doc_id").agg(
+        *_bit_vote_aggs("vh", 32, "_h"), *_bit_vote_aggs("vl", 32, "_l")
+    )
+    return df.select(
+        "doc_id",
+        F.expr(_bits_total(32, "_h")).cast("long").alias("sim_hi"),
+        F.expr(_bits_total(32, "_l")).cast("long").alias("sim_lo"),
     )
 
 
