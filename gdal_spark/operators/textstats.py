@@ -144,22 +144,12 @@ def lang_id_sql(rel: str = "documents", text_col: str = "text") -> str:
 def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 16) -> DataFrame:
     """Document fingerprint: lexicographic min of md5 over all char k-grams
     (k-gram min-hash — the winnowing family's global-min special case).
-    Identical docs share fingerprints; near-identical docs usually do.
-
-    Codegen shape: explode the position range -> md5 per row inside
-    whole-stage codegen -> MIN in a map-side-combined groupBy (shuffle =
-    one row per doc). The HOF form materialized a length(text)-element
-    array of md5 strings per doc before array_min — interpreted AND
-    allocation-heavy. explode_outer keeps NULL-text docs (fp = NULL,
-    matching the HOF result on NULL input)."""
-    ex = docs.select(
-        "doc_id",
-        F.explode_outer(
-            F.expr(f"sequence(1, greatest(1, length({text_col}) - {k - 1}))")
-        ).alias("i"),
-        F.col(text_col).alias("_t"),
-    ).select("doc_id", F.expr(f"md5(substring(_t, i, {k}))").alias("g"))
-    return ex.groupBy("doc_id").agg(F.min("g").alias("fp"))
+    Identical docs share fingerprints; near-identical docs usually do."""
+    expr = (
+        f"array_min(transform(sequence(1, greatest(1, length({text_col}) - {k - 1})), "
+        f"i -> md5(substring({text_col}, i, {k}))))"
+    )
+    return docs.select("doc_id", F.expr(expr).alias("fp"))
 
 
 def fingerprint_sql(rel: str = "documents", text_col: str = "text", k: int = 16) -> str:
