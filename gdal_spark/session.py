@@ -33,6 +33,15 @@ def _ship_package(spark: SparkSession) -> None:
     import gdal_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(gdal_spark.__file__))
+    if not os.path.isdir(pkg_dir):
+        # already imported FROM a zip (spark-submit --py-files): there is
+        # no directory to walk. Re-register the containing zip so
+        # executors resolve the same archive even when the session was
+        # built without --py-files (addPyFile is idempotent per path).
+        container = os.path.dirname(pkg_dir)
+        if os.path.isfile(container):
+            spark.sparkContext.addPyFile(container)
+        return
     zip_path = os.path.join(tempfile.gettempdir(), "gdal_spark_pkg.zip")
     if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < max(
         os.path.getmtime(os.path.join(root, f))
