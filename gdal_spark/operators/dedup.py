@@ -586,7 +586,7 @@ def dedup_embeddings(
     edges = (
         cand.join(e.select(F.col("vid").alias("la"), F.col("vec").alias("veca")), "la")
         .join(e.select(F.col("vid").alias("lb"), F.col("vec").alias("vecb")), "lb")
-        .withColumn("cos", F.expr(_cos_expr("veca", "vecb")))
+        .withColumn("cos", F.expr(_cos_expr("veca", "vecb", dim=dim)))
         .filter(F.col("cos") >= threshold)
         .select("la", "lb")
         .persist()

