@@ -583,10 +583,15 @@ def dedup_embeddings(
 
     e = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     cand = _emb_candidates(e, n_planes=n_planes, n_bands=n_bands, dim=dim)
+    # verify cosine stays on the HOF fold (dim=None): at this shape —
+    # wide double arrays arriving through two shuffled joins — the
+    # unrolled 192-term form measured 7x SLOWER (76s vs 9.2s at 200k
+    # vecs, same session, reproducible), the inverse of the ann rerank
+    # joins where unrolling wins 2.5x. A/B per call site before changing.
     edges = (
         cand.join(e.select(F.col("vid").alias("la"), F.col("vec").alias("veca")), "la")
         .join(e.select(F.col("vid").alias("lb"), F.col("vec").alias("vecb")), "lb")
-        .withColumn("cos", F.expr(_cos_expr("veca", "vecb", dim=dim)))
+        .withColumn("cos", F.expr(_cos_expr("veca", "vecb")))
         .filter(F.col("cos") >= threshold)
         .select("la", "lb")
         .persist()
