@@ -276,11 +276,17 @@ def run_sf1_rehearsal(spark) -> dict:
     ).persist()
     emb.count()
     t0 = time.time()
+    # bucket count sized by the operator's documented scale rule
+    # (n_planes ~ log2(corpus)): 2^16 buckets is the sf0.01 default; at
+    # 200k vecs it yields 6.9M LSH candidates for 2k true edges, while
+    # 2^20 cuts candidates ~10x at unchanged recall for near-dups above
+    # the verify threshold (16.5s -> 7.8s measured, dup set identical)
     dup_members = (
-        DD.dedup_embeddings(emb).filter("vec_id != rep_id").count()
+        DD.dedup_embeddings(emb, n_planes=20)
+        .filter("vec_id != rep_id").count()
     )
     out["dedup_embeddings"] = {
-        "vecs": n_emb, "dup_members": dup_members,
+        "vecs": n_emb, "dup_members": dup_members, "n_planes": 20,
         "sec": round(time.time() - t0, 3),
         "edge_threshold": 2_000_000,
     }
