@@ -3420,12 +3420,21 @@ def q_vector_sql(spark, sf_dir):
 #     delaunay_np kernel + canonical-vertex tie-break + coincident-point
 #     dedup, and above driver_threshold the new distributed tile-local
 #     triangulation replaces the old hard error (VERDICT r4 #6).
+#   r5 late additions (oracle-parity re-verified on current code, but
+#   the implementing scans were REWRITTEN so they rank semantic):
+#   dedup_minhash (explode+groupBy signature pipeline + barrier-staged
+#   shingle split), simhash / simhash_pairs (codegen bit-vote groupBy),
+#   dedup_embeddings (_emb_candidates extraction + verify-cosine A/B).
 _CHANGED_SINCE_STAMP = frozenset({
     "range_join",
     "st_relate",
     "ogr_sql_exec",
     "sieve",
     "grid_linear",
+    "dedup_minhash",
+    "simhash",
+    "simhash_pairs",
+    "dedup_embeddings",
 })
 
 # Changed since stamp but PROVEN byte-identical by dedicated tests
@@ -3440,6 +3449,9 @@ _CHANGED_SINCE_STAMP = frozenset({
 #   the janino 64KB fix) changes PLANS, not values: cell ids are pinned
 #   against the numpy kernel by tests, and the affected queries' plans
 #   by tests/test_plans.py.
+#   r5 late additions: the ann family's per-pair cosine unrolled to
+#   literal sums — bit-identical by construction (same IEEE association
+#   order as the fold) and oracle-parity green on current code.
 _CHANGED_BYTE_IDENTICAL = frozenset({
     "warp_mode", "raster_resize", "pansharpen",
     "warp_near", "warp_bilinear", "warp_cubic", "warp_average",
@@ -3447,6 +3459,7 @@ _CHANGED_BYTE_IDENTICAL = frozenset({
     "warp_q1", "warp_q3", "warp_cubicspline",
     "warp_lanczos", "warp_cutline", "raster_srcwin", "raster_mosaic",
     "hex_index", "pip_bucketed", "pip_salted", "knn_cells",
+    "ann_brute", "ann_lsh", "ann_lsh_mp", "ann_ivf",
 })
 
 
