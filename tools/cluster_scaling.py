@@ -1,0 +1,146 @@
+"""North-rule scaling at N vs 4N REAL executors (local-cluster mode).
+
+The round-2..5 protocol (tools/scaling_bench.py) proxied cluster scaling
+with local[8] vs local[32] threads in one JVM. This harness upgrades the
+proxy to Spark standalone local-cluster mode: separate executor JVM
+processes with real serialized shuffles — structurally the same runtime
+a multi-node cluster uses, minus the NIC.
+
+    local-cluster[2,4,M]  = 2 executors x 4 cores  (N)
+    local-cluster[8,4,M]  = 8 executors x 4 cores  (4N executors)
+
+Total cores are 8 vs 32, so the measured pure-python CPU-burn hardware
+ceiling (this VM delivers only ~2.1-2.9x at 8->32 procs — see
+BENCH/BASELINE.md) applies identically; efficiencies are reported raw,
+floor-corrected, and hardware-normalized, same as the thread-mode
+protocol. Levels run interleaved in fresh clusters; every raw wall is
+printed.
+
+Usage: python tools/cluster_scaling.py [--reps 3] [--rounds 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import statistics
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+ZIP = "/tmp/gdal_spark_submit.zip"
+JAVA_OPTS = "-XX:+UseG1GC -XX:-DontCompileHugeMethods"
+
+
+def _build_zip() -> None:
+    subprocess.run(
+        ["zip", "-qr", ZIP, "gdal_spark", "-i", "gdal_spark/*.py"],
+        cwd=REPO, check=True,
+    )
+
+
+def _submit(n_exec: int, cores_per: int, reps: int, n_scan: int, n_pipe: int) -> dict:
+    total = n_exec * cores_per
+    cmd = [
+        "spark-submit",
+        "--master", f"local-cluster[{n_exec},{cores_per},3072]",
+        "--conf", f"spark.executor.extraJavaOptions={JAVA_OPTS}",
+        "--conf", f"spark.driver.extraJavaOptions={JAVA_OPTS}",
+        "--conf", "spark.sql.shuffle.partitions=%d" % (total * 2),
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--py-files", ZIP,
+        str(REPO / "tools" / "cluster_scaling_app.py"),
+        str(total), str(reps), str(n_scan), str(n_pipe),
+    ]
+    r = subprocess.run(
+        cmd, cwd="/", capture_output=True, text=True, timeout=1200
+    )
+    for line in r.stdout.splitlines():
+        if line.startswith("CLUSTER_SCALING "):
+            return json.loads(line[len("CLUSTER_SCALING "):])
+    raise RuntimeError(
+        f"no result line from local-cluster[{n_exec},{cores_per}]:\n"
+        + r.stdout[-2000:] + r.stderr[-2000:]
+    )
+
+
+def _burn_one(q, secs_work):
+    t0 = time.time()
+    x = 0
+    for i in range(secs_work):
+        x += i * i % 7
+    q.put(time.time() - t0)
+
+
+def _burn(procs: int, iters: int = 60_000_000) -> float:
+    """Pure-python CPU burn across `procs` processes: burns/sec."""
+    q = mp.Queue()
+    ps = [mp.Process(target=_burn_one, args=(q, iters)) for _ in range(procs)]
+    t0 = time.time()
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    wall = time.time() - t0
+    while not q.empty():
+        q.get()
+    return procs / wall
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--n-scan", type=int, default=256_000_000)
+    ap.add_argument("--n-pipe", type=int, default=64_000_000)
+    args = ap.parse_args()
+
+    _build_zip()
+    acc: dict = {"2": [], "8": []}
+    for rnd in range(args.rounds):
+        for n_exec in (2, 8):
+            res = _submit(n_exec, 4, args.reps, args.n_scan, args.n_pipe)
+            acc[str(n_exec)].append(res)
+            print(
+                f"round {rnd} local-cluster[{n_exec},4]: {json.dumps(res)}",
+                file=sys.stderr, flush=True,
+            )
+    burns = {p: _burn(p) for p in (8, 32)}
+    hw_speedup = burns[32] / burns[8]
+
+    def med(level: str, stage: str) -> float:
+        vals = [v for r in acc[level] for v in r[stage]]
+        return statistics.median(vals)
+
+    def floor(level: str) -> float:
+        return statistics.median([r["floor"] for r in acc[level]])
+
+    report = {
+        "mode": "local-cluster (separate executor JVMs, real shuffles)",
+        "levels": {"N": "2 executors x 4 cores", "4N": "8 executors x 4 cores"},
+        "hw_speedup_8_32": round(hw_speedup, 3),
+        "stages": {},
+        "raw": acc,
+    }
+    rows = {"pip_scan": args.n_scan, "pipe_compute": args.n_pipe}
+    for stage, n in rows.items():
+        t2, t8 = med("2", stage), med("8", stage)
+        w2, w8 = t2 - floor("2"), t8 - floor("8")
+        report["stages"][stage] = {
+            "rows": n,
+            "sec@2x4": round(t2, 2),
+            "sec@8x4": round(t8, 2),
+            "rows_per_sec@2x4": int(n / t2),
+            "rows_per_sec@8x4": int(n / t8),
+            "raw_eff": round(t2 / t8 / 4.0, 3),
+            "work_eff": round(w2 / w8 / 4.0, 3),
+            "hw_norm_eff": round((w2 / w8) / hw_speedup, 3),
+        }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
