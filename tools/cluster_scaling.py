@@ -42,7 +42,10 @@ def _build_zip() -> None:
     )
 
 
-def _submit(n_exec: int, cores_per: int, reps: int, n_scan: int, n_pipe: int) -> dict:
+def _submit(
+    n_exec: int, cores_per: int, reps: int,
+    n_scan: int, n_pipe: int, n_mh: int,
+) -> dict:
     total = n_exec * cores_per
     cmd = [
         "spark-submit",
@@ -53,7 +56,7 @@ def _submit(n_exec: int, cores_per: int, reps: int, n_scan: int, n_pipe: int) ->
         "--conf", "spark.sql.adaptive.enabled=true",
         "--py-files", ZIP,
         str(REPO / "tools" / "cluster_scaling_app.py"),
-        str(total), str(reps), str(n_scan), str(n_pipe),
+        str(total), str(reps), str(n_scan), str(n_pipe), str(n_mh),
     ]
     r = subprocess.run(
         cmd, cwd="/", capture_output=True, text=True, timeout=1200
@@ -96,13 +99,16 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--n-scan", type=int, default=256_000_000)
     ap.add_argument("--n-pipe", type=int, default=64_000_000)
+    ap.add_argument("--n-mh", type=int, default=400_000)
     args = ap.parse_args()
 
     _build_zip()
     acc: dict = {"2": [], "8": []}
     for rnd in range(args.rounds):
         for n_exec in (2, 8):
-            res = _submit(n_exec, 4, args.reps, args.n_scan, args.n_pipe)
+            res = _submit(
+                n_exec, 4, args.reps, args.n_scan, args.n_pipe, args.n_mh
+            )
             acc[str(n_exec)].append(res)
             print(
                 f"round {rnd} local-cluster[{n_exec},4]: {json.dumps(res)}",
@@ -125,7 +131,11 @@ def main() -> None:
         "stages": {},
         "raw": acc,
     }
-    rows = {"pip_scan": args.n_scan, "pipe_compute": args.n_pipe}
+    rows = {
+        "pip_scan": args.n_scan,
+        "pipe_compute": args.n_pipe,
+        "minhash": args.n_mh,
+    }
     for stage, n in rows.items():
         t2, t8 = med("2", stage), med("8", stage)
         w2, w8 = t2 - floor("2"), t8 - floor("8")

@@ -22,6 +22,7 @@ def main() -> None:
     reps = int(sys.argv[2])
     n_scan = int(sys.argv[3])
     n_pipe = int(sys.argv[4])
+    n_mh = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -92,6 +93,21 @@ def main() -> None:
         )
         return m + nt
 
+    def minhash():
+        from gdal_spark.operators.dedup import minhash_signatures
+
+        docs = spark.range(0, n_mh, 1, total_cores * 4).selectExpr(
+            "id AS doc_id",
+            "concat_ws(' ', transform(sequence(0, 29), "
+            "i -> substr(md5(concat(CAST(id AS STRING), ':', "
+            "CAST(i AS STRING))), 1, 6))) AS text",
+        )
+        return (
+            minhash_signatures(docs)
+            .agg(F.count_distinct("band_0", "band_1", "band_2", "band_3"))
+            .collect()[0][0]
+        )
+
     def timed(fn):
         fn()  # warm: codegen compile + JIT
         vals = []
@@ -116,6 +132,9 @@ def main() -> None:
         "n_scan": n_scan,
         "n_pipe": n_pipe,
     }
+    if n_mh:
+        out["minhash"] = timed(minhash)
+        out["n_mh"] = n_mh
     print("CLUSTER_SCALING " + json.dumps(out), flush=True)
 
 
