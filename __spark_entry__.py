@@ -222,6 +222,17 @@ def q_dedup_minhash(spark, sf_dir):
     return DD.lsh_pairs(_text_shared(spark, sf_dir)[0])
 
 
+def q_dedup_jaccard(spark, sf_dir):
+    """EXACT n-gram Jaccard near-dup pairs (inverted shingle index +
+    self equi-join on the shingle key — the zero-false-negative baseline
+    dedup_minhash's banding approximates; operators/dedup.py
+    jaccard_pairs). Reuses the shared persisted corpus."""
+    out = DD.jaccard_pairs(_text_shared(spark, sf_dir)[0])
+    return out.select(
+        "id_a", "id_b", "n_common", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
 def q_simhash(spark, sf_dir):
     """64-bit simhash signatures (two exact 32-bit halves)."""
     return _text_shared(spark, sf_dir)[1]
@@ -3531,6 +3542,7 @@ _QUERIES = {
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_jaccard": q_dedup_jaccard,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ann_brute": q_ann_brute,
@@ -3711,6 +3723,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": TS.fingerprint_sql(),
         "dedup_exact": f"WITH corpus AS ({DD.corpus_cte_sql()}) {DD.dedup_exact_sql()}",
         "dedup_minhash": f"WITH corpus AS ({DD.corpus_cte_sql()}) {DD.lsh_pairs_sql()}",
+        "dedup_jaccard": f"WITH corpus AS ({DD.corpus_cte_sql()}) {DD.jaccard_pairs_sql()}",
         "simhash": f"WITH corpus AS ({DD.corpus_cte_sql()}) {DD.simhash64_sql()}",
         "simhash_pairs": f"WITH corpus AS ({DD.corpus_cte_sql()}) "
                          f"{DD.simhash_hamming_pairs_sql()}",

@@ -43,6 +43,51 @@ def test_lsh_finds_planted_near_dups(corpus):
     assert found / len(planted) > 0.75
 
 
+def test_jaccard_pairs_exact_vs_brute(corpus):
+    """jaccard_pairs (inverted-index join) == brute-force pairwise
+    Jaccard over the same distinct 3-shingle sets, values included."""
+    rows = corpus.select(
+        "doc_id", F.expr(DD._shingles_expr("text")).alias("sh")
+    ).collect()
+    sets = {r["doc_id"]: frozenset(r["sh"]) for r in rows if len(r["sh"])}
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            common = len(sets[a] & sets[b])
+            if not common:
+                continue
+            j = common / (len(sets[a]) + len(sets[b]) - common)
+            if j >= DD.JACCARD_THRESHOLD:
+                want[(a, b)] = (common, j)
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard"])
+        for r in DD.jaccard_pairs(corpus).collect()
+    }
+    assert set(got) == set(want)
+    for k, (c, j) in want.items():
+        assert got[k][0] == c
+        assert abs(got[k][1] - j) < 1e-12
+    # planted exact copies (doc_id+2M) must surface with jaccard == 1.0
+    exact = [(a, b) for (a, b) in got if b == a + 2_000_000]
+    assert exact and all(got[p][1] == 1.0 for p in exact)
+
+
+def test_jaccard_pairs_df_cap_is_subset(corpus):
+    """A df-cap only removes common-shingle evidence: capped output
+    pairs are a subset of the exact output, with n_common <= exact."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["n_common"]
+        for r in DD.jaccard_pairs(corpus).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["n_common"]
+        for r in DD.jaccard_pairs(corpus, df_cap=3).collect()
+    }
+    for pair, n in capped.items():
+        assert pair in exact and n <= exact[pair]
+
+
 def test_simhash_stable_and_near(corpus):
     sh = {r["doc_id"]: r["simhash"] for r in DD.simhash(corpus).collect()}
     exact_ids = [d for d in sh if d >= 2_000_000]
