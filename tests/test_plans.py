@@ -172,6 +172,19 @@ def test_minhash_lsh_no_cross_product(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_jaccard_pairs_no_cross_product(spark, sf_dir):
+    """Exact-Jaccard candidates come from the inverted-index self
+    equi-join on the shingle key — never a cross product (which would be
+    the naive all-pairs set comparison)."""
+    from gdal_spark.operators import dedup as DD
+
+    corpus = DD.corpus_df(spark, sf_dir)
+    pairs = DD.jaccard_pairs(corpus)
+    plan = plan_of(pairs)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_ann_ivf_corpus_side_no_shuffle(spark, sf_dir):
     """IVF assignment is a scan-side codegen argmax: the corpus never
     shuffles before the probed-list join (broadcast exchanges of the
