@@ -99,7 +99,7 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--n-scan", type=int, default=256_000_000)
     ap.add_argument("--n-pipe", type=int, default=64_000_000)
-    ap.add_argument("--n-mh", type=int, default=400_000)
+    ap.add_argument("--n-mh", type=int, default=800_000)
     args = ap.parse_args()
 
     _build_zip()

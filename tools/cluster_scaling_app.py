@@ -102,9 +102,22 @@ def main() -> None:
             "i -> substr(md5(concat(CAST(id AS STRING), ':', "
             "CAST(i AS STRING))), 1, 6))) AS text",
         )
+        # Consume every band value with a cheap commutative agg.  The
+        # earlier count_distinct consumer added a SECOND shuffle of
+        # n_mh x 4 md5 strings — a fixed ~1s harness artifact that
+        # dominated the stage at small n_mh and mis-read as "minhash
+        # doesn't scale"; stage isolation (A=map-only vs B=+groupBy)
+        # showed the operator itself scales identically to pip_scan.
         return (
             minhash_signatures(docs)
-            .agg(F.count_distinct("band_0", "band_1", "band_2", "band_3"))
+            .agg(
+                F.sum(
+                    F.crc32(F.col("band_0"))
+                    + F.crc32(F.col("band_1"))
+                    + F.crc32(F.col("band_2"))
+                    + F.crc32(F.col("band_3"))
+                )
+            )
             .collect()[0][0]
         )
 
