@@ -346,7 +346,15 @@ def main() -> None:
     # the r4/r5 ordering) otherwise absorbs both materializations
     # (~7s of its r4 10.9s wall). Same marginal-work convention as the
     # dedup family above.
-    for warm in ("swap_xy", "hillshade", "simhash", "polygonize"):
+    # overlay_erase warms the overlay family's shared codegen classes
+    # (intersection/erase subplans recur inside union/symdiff/identity/
+    # update): with the default 100-entry codegen cache the sweep evicted
+    # them and whichever family member ran first mid-sweep re-paid ~10s
+    # of janino compile (the BENCH overlay_union 9s outlier vs its own
+    # 1.8-2.9s history). session.py now also pins
+    # spark.sql.codegen.cache.maxEntries=4096 so the warmed classes
+    # survive the whole 121-query sweep.
+    for warm in ("swap_xy", "hillshade", "simhash", "polygonize", "overlay_erase"):
         if warm in queries:
             try:
                 queries[warm](spark, sf_dir).write.format("noop").mode(

@@ -379,7 +379,15 @@ def overlay_union(a: DataFrame, b: DataFrame, cell: float = 1.0) -> DataFrame:
     whichever side(s) contributed. Composed here from the two primitives
     that already own the candidate discipline: overlay_intersection
     (keep_wkb) and overlay_erase both ways. Output: (zone_a NULLable,
-    zone_b NULLable, area, geometry)."""
+    zone_b NULLable, area, geometry).
+
+    Envelopes are attached once per side here (idempotent in
+    _zone_envelopes) so the three composed primitives don't each rerun
+    the eager small-side probe — 6 probe jobs collapse to 2."""
+    from .pip_join import _zone_envelopes
+
+    a = _zone_envelopes(a)
+    b = _zone_envelopes(b)
     inter = overlay_intersection(a, b, cell=cell, keep_wkb=True).select(
         "zone_a", "zone_b", "area", F.col("wkb").alias("geometry")
     )

@@ -188,9 +188,22 @@ def _zone_envelopes(zones: DataFrame, driver_threshold: int = 2000) -> DataFrame
     OGRGeometry::getEnvelope. Small tables compile driver-side (no
     python-worker spin-up); past driver_threshold the envelopes come from
     a pandas_udf instead so a direct pip_join_broadcast call on a large
-    zones table cannot OOM the driver (same guard as _with_polys)."""
-    n = zones.limit(driver_threshold + 1).count()
-    if n > driver_threshold:
+    zones table cannot OOM the driver (same guard as _with_polys).
+
+    Idempotent: input already carrying minx..maxy passes through, so
+    composed operators (overlay_union = intersection + 2x erase) enrich
+    each side ONCE instead of per primitive. The small-side probe is a
+    single collect (not count-then-collect): every call used to cost two
+    eager driver jobs, and micro-job scheduling latency — not data —
+    dominated the composed overlay ops' wall on small layers."""
+    if {"minx", "miny", "maxx", "maxy"} <= set(zones.columns):
+        return zones
+    head = (
+        zones.select("zone_id", "geometry")
+        .limit(driver_threshold + 1)
+        .collect()
+    )
+    if len(head) > driver_threshold:
         from pyspark.sql.types import DoubleType
 
         @F.pandas_udf("minx double, miny double, maxx double, maxy double")
@@ -203,10 +216,9 @@ def _zone_envelopes(zones: DataFrame, driver_threshold: int = 2000) -> DataFrame
 
         z = zones.withColumn("_env", _env(F.col("geometry")))
         return z.select("*", "_env.minx", "_env.miny", "_env.maxx", "_env.maxy").drop("_env")
-    rows = zones.select("zone_id", "geometry").collect()
     env = [
         (r["zone_id"],) + W.envelope(bytes(r["geometry"]))
-        for r in rows
+        for r in head
     ]
     spark = zones.sparkSession
     from ..session import local_df

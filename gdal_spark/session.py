@@ -120,6 +120,13 @@ def get_spark(
         # rows/batch (ogrlayerarrow.cpp:1947)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
+        # WholeStageCodegen class cache: the default 100 entries thrash
+        # under a 121-query sweep — an evicted shared subplan class makes
+        # a later family member (overlay_union = intersection + 2x erase)
+        # re-pay ~10s of janino compile mid-run. Static conf, so it must
+        # be set at builder time. ~50KB source per class: worst case a
+        # few hundred MB driver-side at 4096, irrelevant at 12g.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         # local-mode "cluster": all tasks share the driver JVM. This box
         # first-touches memory at only ~130MB/s, so heap growth mid-job
         # shows up as 50-150s stalls at ~57% kernel time. Benchmarks set
