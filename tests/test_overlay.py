@@ -132,3 +132,43 @@ def test_overlay_intersection_operator(spark):
     assert r["zone_a"] == 103 and r["zone_b"] == 103
     assert abs(r["area"] - TRI_AREA) < 1e-10
     assert abs(W.shoelace_area(bytes(r["wkb"])) - TRI_AREA) < 1e-10
+
+
+def test_zone_envelopes_idempotent_and_single_probe(spark):
+    """_zone_envelopes passes pre-enriched input through unchanged (the
+    contract overlay_union relies on to attach envelopes once per side
+    instead of once per composed primitive) and computes the same
+    envelope either way."""
+    from gdal_spark.operators.pip_join import _zone_envelopes
+    from gdal_spark.session import local_df
+
+    df = local_df(
+        spark,
+        [(1, W.polygon_wkb([[(0, 0), (4, 0), (4, 3), (0, 3), (0, 0)]]))],
+        "zone_id long, geometry binary",
+    )
+    once = _zone_envelopes(df)
+    assert {"minx", "miny", "maxx", "maxy"} <= set(once.columns)
+    twice = _zone_envelopes(once)
+    assert twice is once  # enriched input short-circuits — no new probe job
+    row = once.collect()[0]
+    assert (row["minx"], row["miny"], row["maxx"], row["maxy"]) == (0, 0, 4, 3)
+
+
+def test_zone_envelopes_udf_path_matches_driver_path(spark):
+    """Past driver_threshold the pandas_udf path must produce the same
+    envelopes as the driver-side path."""
+    from gdal_spark.operators.pip_join import _zone_envelopes
+    from gdal_spark.session import local_df
+
+    rows = [
+        (i, W.polygon_wkb([[(i, 0), (i + 2, 0), (i + 2, 5), (i, 5), (i, 0)]]))
+        for i in range(6)
+    ]
+    df = local_df(spark, rows, "zone_id long, geometry binary")
+    drv = {r["zone_id"]: (r["minx"], r["maxx"]) for r in _zone_envelopes(df).collect()}
+    udf = {
+        r["zone_id"]: (r["minx"], r["maxx"])
+        for r in _zone_envelopes(df, driver_threshold=2).collect()
+    }
+    assert drv == udf == {i: (float(i), float(i + 2)) for i in range(6)}
