@@ -315,10 +315,26 @@ def run_sf1_rehearsal(spark) -> dict:
     return out
 
 
+def _window_burn(iters: int = 30_000_000) -> float:
+    """Single-process pure-python CPU burn (seconds) — a Spark-free probe
+    of THIS run's hypervisor window. Committed runs on this VM vary up
+    to ~40% between windows on identical code (BENCH/BASELINE.md); the
+    burn rides along in the JSON so an anomalous run carries its own
+    calibration instead of reading as a regression. Quiet windows
+    measure ~2.3-3s at 30M iters; >4.5s means the window is throttled
+    (the same morning measured both on identical code)."""
+    t0 = time.time()
+    x = 0
+    for i in range(iters):
+        x += i * i % 7
+    return round(time.time() - t0, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     n_bench = int(os.environ.get("BENCH_PAGES", "1000000"))
+    burn_sec = _window_burn()
     # stable timings on this VM need a fixed pre-touched heap (see
     # session.py) and warm python workers/JIT
     os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
@@ -390,6 +406,7 @@ def main() -> None:
         "knn": knn,
         "sf1": sf1,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "window_burn_sec": burn_sec,
     }
     # Full detail (all per-query timings + raw reps) goes to a file: the
     # driver retains only the last ~2000 chars of stdout, and the full
@@ -413,6 +430,7 @@ def main() -> None:
         "sf": out["sf"],
         "cpus": out["cpus"],
         "n_queries": len(timings),
+        "window_burn_sec": burn_sec,
         "slowest": slowest,
         "pipeline": {
             "pages": pipe["pages"],
