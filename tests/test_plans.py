@@ -183,6 +183,13 @@ def test_jaccard_pairs_no_cross_product(spark, sf_dir):
     plan = plan_of(pairs)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    # pinned strategy: shuffle-hash self-join on the shingle key. A
+    # broadcast would recompute the whole index into a driver-collected
+    # build side and ship it to every task (measured 2-3x slower at
+    # sf0.1), and it caps at the broadcast size limit while the shuffled
+    # form scales with the corpus.
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
 
 
 def test_ann_ivf_corpus_side_no_shuffle(spark, sf_dir):
