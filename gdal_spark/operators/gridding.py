@@ -117,7 +117,7 @@ def grid_linear(
     points: DataFrame, x0, y0, dx, dy, nx, ny,
     x_col: str = "x", y_col: str = "y", v_col: str = "v",
     driver_threshold: int = 20_000,
-    target_per_tile: int = 1500,
+    target_per_tile: int = 900,
 ) -> DataFrame:
     """Linear (Delaunay TIN) interpolation, GDALGridLinear semantics
     (alg/gdalgrid.cpp:2459): triangulate the points, locate each grid
@@ -632,7 +632,7 @@ def _band_complete(
 
 def triangulate_tiled(
     pts: DataFrame,
-    target_per_tile: int = 1500,
+    target_per_tile: int = 900,
     halo_factor: float = 0.25,
     max_passes: int = 24,
     verbose: bool = False,
@@ -643,6 +643,12 @@ def triangulate_tiled(
     Returns the triangle table (x1..v3, canonical vertex order) — the
     same set `_triangulate_driver` produces (unique for points in
     general position; cocircular ties may differ, as with qhull).
+
+    target_per_tile trades per-tile Bowyer-Watson cost (vectorized but
+    ~quadratic per insertion batch) against tile count + halo
+    duplication; 900 measured fastest at 400k points (warm, interleaved:
+    15.5s vs 17.9s at 1500), with the triangle set identical at every
+    size — exactness does not depend on the tiling.
 
     Scheme (the standard tile+halo construction):
       * the domain bbox splits into g x g tiles sized for
