@@ -260,7 +260,36 @@ def run_sf1_rehearsal(spark) -> dict:
     out["simhash_pairs"] = {
         "docs": n_docs, "pairs": n_sh, "sec": round(time.time() - t0, 3),
     }
+    t0 = time.time()
+    n_j = DD.jaccard_pairs(docs).count()
+    out["jaccard_exact"] = {
+        "docs": n_docs, "pairs": n_j, "sec": round(time.time() - t0, 3),
+    }
     docs.unpersist()
+
+    # the df_cap skew knob under its design condition: a third of the
+    # corpus shares a 12-word boilerplate header (nav chrome), whose
+    # shingles have df ~n/3 — uncapped, each such bucket alone forms
+    # ~(n/3)^2/2 candidate pairs (2.2e9 at 200k docs: infeasible), so
+    # only the capped run executes. The cap drops those buckets; the
+    # planted duplicate pairs still share their ~28 unique-word shingles
+    # and all survive the 0.6 threshold (full recall on the dup set).
+    boiler = spark.range(n_docs).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', "
+        " CASE WHEN id % 3 = 0 THEN 'home about contact privacy terms "
+        "login search menu nav footer copyright sitemap' ELSE '' END,"
+        " concat_ws(' ', transform(sequence(0, 29), i -> substr(md5(concat("
+        "CAST(CASE WHEN id % 50 = 7 THEN id - 7 ELSE id END AS STRING), "
+        "':', CAST(i AS STRING))), 1, 6)))) AS text",
+    )
+    t0 = time.time()
+    n_jc = DD.jaccard_pairs(boiler, df_cap=1000).count()
+    out["jaccard_boilerplate_capped"] = {
+        "docs": n_docs, "pairs": n_jc, "df_cap": 1000,
+        "sec": round(time.time() - t0, 3),
+        "full_recall": bool(n_jc == n_j),
+    }
 
     # embedding dedup at 100x vectors with ~1% planted duplicates; the
     # union-find edge threshold (2M) is the driver-side gate to watch
@@ -450,6 +479,8 @@ def main() -> None:
                 "pages_per_sec": sf1["pipeline"]["pages_per_sec"],
                 "minhash_sec": sf1["dedup_minhash"]["sec"],
                 "emb_dedup_sec": sf1["dedup_embeddings"]["sec"],
+                "jaccard_sec": sf1["jaccard_exact"]["sec"],
+                "jaccard_capped_sec": sf1["jaccard_boilerplate_capped"]["sec"],
                 "grid_linear_sec": sf1["grid_linear_tiled"]["sec"],
                 "trips": sf1["threshold_trips"],
             }
