@@ -191,6 +191,14 @@ def q_fingerprint(spark, sf_dir):
     return TS.fingerprint(_docs(spark, sf_dir))
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Exact per-lang quota sample (5 docs/lang, seeded md5 permutation)
+    — deterministic corpus balancing; identical rows in both engines."""
+    return TS.stratified_sample(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
 # the dedup/simhash family all reads the same mutated corpus, and
 # simhash_pairs reuses simhash's signature scan — share the persisted
 # intermediates per (application, sf_dir), same posture as _POLY_SHARED
@@ -3540,6 +3548,7 @@ _QUERIES = {
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "stratified_sample": q_stratified_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
@@ -3721,6 +3730,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": TS.quality_score_sql(),
         "lang_id": TS.lang_id_sql(),
         "fingerprint": TS.fingerprint_sql(),
+        "stratified_sample": TS.stratified_sample_sql(),
         "dedup_exact": f"WITH corpus AS ({DD.corpus_cte_sql()}) {DD.dedup_exact_sql()}",
         "dedup_minhash": f"WITH corpus AS ({DD.corpus_cte_sql()}) {DD.lsh_pairs_sql()}",
         "dedup_jaccard": f"WITH corpus AS ({DD.corpus_cte_sql()}) {DD.jaccard_pairs_sql()}",

@@ -17,7 +17,7 @@ Common-Crawl-style web text, where these are the standard cleaning ops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -158,4 +158,59 @@ def fingerprint_sql(rel: str = "documents", text_col: str = "text", k: int = 16)
              list_min(list_transform(range(1, greatest(1, length({text_col}) - {k - 1}) + 1),
                       i -> md5(substr({text_col}, i, {k})))) AS fp
       FROM {rel}
+    """
+
+
+def stratified_sample(
+    docs: DataFrame,
+    key_col: str = "lang",
+    n_per_key: int = 5,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact per-key quota sampling — the corpus-balancing step a
+    training-data pipeline runs before tokenization (downsample the head
+    language/domain to a fixed quota, keep the tail whole). Spark's own
+    sampleBy is approximate (per-row Bernoulli); quotas here are EXACT.
+
+    Deterministic: rows rank inside each key by md5(id ':' seed) — a
+    seeded uniform permutation — so the sample reproduces across runs,
+    partitionings, and engines (the DuckDB oracle computes the identical
+    rows). Scale shape: ONE hash shuffle on the key; the rank<=n filter
+    over the window becomes WindowGroupLimit (Spark 3.5+), which keeps a
+    per-group top-n heap on BOTH the map and reduce side, so the shuffle
+    and sort carry at most n_per_key rows per key per map partition —
+    never the full table. Hot keys cost what any keyed window costs.
+
+    Output: input columns + sample_rank (1..n_per_key within each key).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(
+            F.concat_ws(
+                ":", F.col(id_col).cast("string"), F.lit(str(seed))
+            )
+        )
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= n_per_key)
+    )
+
+
+def stratified_sample_sql(
+    rel: str = "documents",
+    key_col: str = "lang",
+    n_per_key: int = 5,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> str:
+    return f"""
+      SELECT * FROM (
+        SELECT {id_col}, {key_col},
+               ROW_NUMBER() OVER (
+                 PARTITION BY {key_col}
+                 ORDER BY md5(concat(CAST({id_col} AS VARCHAR), ':', '{seed}'))
+               ) AS sample_rank
+        FROM {rel}
+      ) WHERE sample_rank <= {n_per_key}
     """

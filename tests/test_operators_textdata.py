@@ -157,3 +157,34 @@ def test_multimodal_real_decode(spark):
         yi = np.arange(6) * 24 // 6
         xi = np.arange(8) * 32 // 8
         assert np.array_equal(out, src[yi][:, xi])
+
+
+def test_stratified_sample_exact_quotas(spark, sf_dir):
+    """Every key gets exactly min(n_per_key, group size) rows with ranks
+    1..quota — Spark's sampleBy is Bernoulli-approximate; this is exact."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    out = TS.stratified_sample(docs, n_per_key=5).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["lang"], []).append(r["sample_rank"])
+    assert set(by_key) == set(counts)
+    for lang, ranks in by_key.items():
+        quota = min(5, counts[lang])
+        assert sorted(ranks) == list(range(1, quota + 1)), (lang, ranks)
+
+
+def test_stratified_sample_deterministic_across_partitioning(spark, sf_dir):
+    """The seeded md5 permutation makes the sample a pure function of the
+    data — repartitioning must not change which rows are picked."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {(r["lang"], r["doc_id"], r["sample_rank"])
+         for r in TS.stratified_sample(docs).collect()}
+    b = {(r["lang"], r["doc_id"], r["sample_rank"])
+         for r in TS.stratified_sample(docs.repartition(7)).collect()}
+    assert a == b
+    # different seed -> (almost surely) different permutation
+    c = {(r["lang"], r["doc_id"], r["sample_rank"])
+         for r in TS.stratified_sample(docs, seed=7).collect()}
+    assert a != c

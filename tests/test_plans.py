@@ -223,3 +223,14 @@ def test_dedup_embeddings_single_band_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     joins = re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
     assert len(joins) == 1, (joins, plan)
+
+
+def test_stratified_sample_window_group_limit(spark, sf_dir):
+    """The rank<=n filter must compile to WindowGroupLimit on BOTH the
+    map and reduce side (partial + final), so the shuffle carries at most
+    n_per_key rows per key per map partition — never the full table."""
+    from gdal_spark.operators import textstats as TS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(TS.stratified_sample(docs, n_per_key=5))
+    assert plan.count("WindowGroupLimit") == 2, plan
