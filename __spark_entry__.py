@@ -199,6 +199,26 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end curation capstone — the three training-data stages
+    composed as ONE lazy plan Catalyst optimizes across: quality gate ->
+    exact-dup representative selection (min doc_id per content digest,
+    within the quality-passing subset) -> per-lang training-mix summary.
+    avg is rounded to 6 digits: double summation order differs between
+    engines by ~1e-13 relative, far below that granularity."""
+    from gdal_spark.operators import dedup as DD
+
+    docs = _docs(spark, sf_dir)
+    q = TS.quality_score(docs).filter("passes_quality")
+    good = docs.join(q.select("doc_id", "mean_token_len"), "doc_id")
+    reps = DD.dedup_exact(good).select(F.col("keep_id").alias("doc_id"))
+    curated = good.join(reps, "doc_id")
+    return curated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("mean_token_len"), 6).alias("avg_token_len"),
+    )
+
+
 # the dedup/simhash family all reads the same mutated corpus, and
 # simhash_pairs reuses simhash's signature scan — share the persisted
 # intermediates per (application, sf_dir), same posture as _POLY_SHARED
@@ -3549,6 +3569,7 @@ _QUERIES = {
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "stratified_sample": q_stratified_sample,
+        "corpus_curation": q_corpus_curation,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
@@ -3731,6 +3752,21 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": TS.lang_id_sql(),
         "fingerprint": TS.fingerprint_sql(),
         "stratified_sample": TS.stratified_sample_sql(),
+        "corpus_curation": f"""
+          WITH q AS ({TS.quality_score_sql()}),
+          good AS (
+            SELECT d.doc_id, d.text, d.lang, q.mean_token_len
+            FROM documents d JOIN q USING (doc_id)
+            WHERE q.passes_quality
+          ),
+          reps AS (
+            SELECT MIN(doc_id) AS doc_id FROM good GROUP BY md5(text)
+          )
+          SELECT lang, COUNT(*) AS n_docs,
+                 ROUND(AVG(mean_token_len), 6) AS avg_token_len
+          FROM good JOIN reps USING (doc_id)
+          GROUP BY lang
+        """,
         "dedup_exact": f"WITH corpus AS ({DD.corpus_cte_sql()}) {DD.dedup_exact_sql()}",
         "dedup_minhash": f"WITH corpus AS ({DD.corpus_cte_sql()}) {DD.lsh_pairs_sql()}",
         "dedup_jaccard": f"WITH corpus AS ({DD.corpus_cte_sql()}) {DD.jaccard_pairs_sql()}",
